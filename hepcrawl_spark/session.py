@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the frontier workload.
+
+Scale notes (the configs below are chosen for a 1000-executor / 100 TB
+deployment and merely *also* work on local[32]):
+
+- AQE on: runtime coalescing of the many small post-filter partitions each
+  fixpoint iteration produces, plus skew-join splitting for hot hosts
+  (arxiv.org-style skew — see operators/politeness.py salting for the
+  explicit counterpart).
+- Arrow on: every parse UDF is a vectorized pandas UDF; row-at-a-time
+  Python UDFs are banned in this codebase (BASELINE.json input_hint).
+- shuffle.partitions default 32 locally; on a real cluster set it to
+  ~2-3x total cores via spark-submit --conf, or rely on AQE coalescing
+  from a higher initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hepcrawl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
