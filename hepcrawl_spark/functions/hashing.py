@@ -40,3 +40,15 @@ def portable_hash64_py(value: str) -> int:
 # DuckDB SQL snippet builder for oracle queries.
 def portable_hash64_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def portable_hash32(col: Column | str) -> Column:
+    """28-bit md5-based hash — small enough that k-permutation arithmetic
+    (h*a+b mod p) never overflows int64 even under ANSI mode, in Spark or
+    DuckDB. Twin: ``('0x' || substr(md5(x), 1, 7))::BIGINT``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("bigint")
+
+
+def portable_hash32_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"

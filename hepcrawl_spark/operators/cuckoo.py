@@ -1,0 +1,212 @@
+"""Cuckoo filter — the delete-capable URL-seen fallback (north rule).
+
+The crawl-once store is not append-only: a newer-timestamped capture
+invalidates its entry (middlewares.py:134-155 re-crawls when
+``new_ts > old_ts``). A Bloom filter can't delete, so invalidation would
+force a full rebuild per snapshot. The cuckoo filter supports true deletes,
+so the engine can keep one filter resident and apply the (small) per-
+iteration delta: insert newly-seen hashes, delete invalidated ones.
+
+Design: standard (bucketized) cuckoo filter — 4 fingerprint slots per
+bucket, 16-bit fingerprints, partial-key cuckoo eviction. Numpy-backed so
+probes over whole Arrow batches are vectorized. Build is partition-parallel
+via SHARDS: shard s holds hashes with pmod(hash, S) == s; shards build in
+parallel with applyInPandas and the resulting (small) shard blobs are
+collected + broadcast. Membership routes each probe to its shard — no row
+ever leaves the executor for a probe.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+_SLOTS = 4
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """Bucketized cuckoo filter over uint64 keys; supports delete."""
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        # power-of-two bucket count so bucket2 = bucket1 ^ hash(fp) stays in range
+        self.n_buckets = 1 << (n_buckets - 1).bit_length()
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((self.n_buckets, _SLOTS), dtype=np.uint16)
+        )
+
+    @classmethod
+    def sized_for(cls, n_items: int, load: float = 0.84) -> "CuckooFilter":
+        return cls(max(8, int(n_items / (load * _SLOTS)) + 1))
+
+    # -- key decomposition ---------------------------------------------------
+    def _fp(self, v: np.ndarray) -> np.ndarray:
+        fp = ((v >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 marks an empty slot
+        return fp
+
+    def _b1(self, v: np.ndarray) -> np.ndarray:
+        return (v % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _b2(self, b1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key: b2 = b1 xor H(fp); H = splitmix-style scramble
+        h = (fp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return (b1 ^ (h.astype(np.int64) & (self.n_buckets - 1))) & (self.n_buckets - 1)
+
+    # -- single-key ops (build path, python loop per key within a shard) ------
+    def insert(self, v: int) -> bool:
+        arr = np.array([v], dtype=np.uint64)
+        fp = int(self._fp(arr)[0])
+        b1 = int(self._b1(arr)[0])
+        b2 = int(self._b2(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
+        for b in (b1, b2):
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # evict
+        rng = np.random.default_rng(v & 0xFFFFFFFF)  # deterministic eviction
+        b = b1 if (v & 1) else b2
+        for _ in range(_MAX_KICKS):
+            slot = int(rng.integers(_SLOTS))
+            fp, self.table[b][slot] = int(self.table[b][slot]), fp
+            b = int(
+                self._b2(np.array([b]), np.array([fp], dtype=np.uint16))[0]
+            )
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table full
+
+    def delete(self, v: int) -> bool:
+        arr = np.array([v], dtype=np.uint64)
+        fp = int(self._fp(arr)[0])
+        b1 = int(self._b1(arr)[0])
+        b2 = int(self._b2(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
+        for b in (b1, b2):
+            row = self.table[b]
+            hit = np.nonzero(row == fp)[0]
+            if len(hit):
+                row[hit[0]] = 0
+                return True
+        return False
+
+    # -- vectorized probe ------------------------------------------------------
+    def might_contain(self, values: np.ndarray) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        v = values.astype(np.uint64)
+        fp = self._fp(v)
+        b1 = self._b1(v)
+        b2 = self._b2(b1, fp)
+        in1 = (self.table[b1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+
+class ShardedCuckoo:
+    """S independent cuckoo shards; shard = pmod(hash, S).
+
+    Shards build in parallel on executors; the broadcastable state is the
+    dict {shard_id: table bytes}. Deletes route to one shard and touch only
+    that shard's table.
+    """
+
+    def __init__(self, shards: dict[int, CuckooFilter], n_shards: int):
+        self.shards = shards
+        self.n_shards = n_shards
+
+    def might_contain(self, values: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(values), dtype=bool)
+        sid = np.mod(values.astype(np.int64), self.n_shards)
+        sid = np.where(sid < 0, sid + self.n_shards, sid)
+        for s, cf in self.shards.items():
+            mask = sid == s
+            if mask.any():
+                out[mask] = cf.might_contain(values[mask])
+        return out
+
+    def insert(self, v: int) -> bool:
+        return self.shards[int(v) % self.n_shards].insert(v)
+
+    def delete(self, v: int) -> bool:
+        return self.shards[int(v) % self.n_shards].delete(v)
+
+    def to_blobs(self) -> dict[int, tuple[int, bytes]]:
+        return {
+            s: (cf.n_buckets, cf.table.tobytes()) for s, cf in self.shards.items()
+        }
+
+    @classmethod
+    def from_blobs(cls, blobs: dict[int, tuple[int, bytes]], n_shards: int):
+        shards = {
+            s: CuckooFilter(
+                nb, np.frombuffer(tb, dtype=np.uint16).reshape(-1, _SLOTS).copy()
+            )
+            for s, (nb, tb) in blobs.items()
+        }
+        return cls(shards, n_shards)
+
+
+def build_cuckoo(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 32,
+    n_items: int | None = None,
+) -> ShardedCuckoo:
+    """Partition-parallel build: groupBy shard, each group builds its filter
+    with applyInPandas, driver collects the small shard blobs."""
+    if n_items is None:
+        n_items = df.count()
+    per_shard = max(64, (n_items // n_shards) * 2)
+
+    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter.sized_for(per_shard)
+        vals = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        for v in vals:
+            cf.insert(int(v))
+        return pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "n_buckets": [cf.n_buckets],
+                "table": [cf.table.tobytes()],
+            }
+        )
+
+    rows = (
+        df.select(F.col(hash_col).cast("long"))
+        .withColumn("shard", F.pmod(F.col(hash_col), F.lit(n_shards)))
+        .groupBy("shard")
+        .applyInPandas(build_shard, "shard int, n_buckets long, table binary")
+        .collect()
+    )
+    blobs = {r["shard"]: (r["n_buckets"], r["table"]) for r in rows}
+    # empty shards still need a (tiny) filter
+    for s in range(n_shards):
+        blobs.setdefault(s, (8, np.zeros((8, _SLOTS), dtype=np.uint16).tobytes()))
+    return ShardedCuckoo.from_blobs(blobs, n_shards)
+
+
+def cuckoo_might_contain_udf(spark: SparkSession, sc_filter: ShardedCuckoo):
+    bcast = spark.sparkContext.broadcast((sc_filter.to_blobs(), sc_filter.n_shards))
+
+    @pandas_udf(BooleanType())
+    def _probe(hashes: pd.Series) -> pd.Series:
+        blobs, n_shards = bcast.value
+        local = ShardedCuckoo.from_blobs(blobs, n_shards)
+        return pd.Series(
+            local.might_contain(hashes.to_numpy(dtype=np.int64).astype(np.uint64))
+        )
+
+    return _probe

@@ -1,0 +1,269 @@
+"""Dedup operators: crawl-once gate (D1/D2) + the training-data suite
+(exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup).
+
+Crawl-once (D1) reference semantics (middlewares.py:101-210): skip a request
+iff its key is in the store AND the stored timestamp is not older than the
+new one; i.e. KEEP iff unseen OR new_ts > last_ts.
+
+Scale shape of the gate:
+  frontier (huge, this wave's slice)  LEFT JOIN  url_seen (huge)
+  -> shuffle on url (or url_hash). The bloom/cuckoo prefilter
+  (operators/bloom.py / cuckoo.py) removes definitely-unseen rows before the
+  shuffle; at 10^10 URLs with mostly-fresh frontiers that's the difference
+  between shuffling everything and shuffling a few percent.
+
+All text dedup operators use only portable primitives (md5-derived hashes,
+split/explode/groupBy) so the DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32, portable_hash64
+
+# ---------------------------------------------------------------------------
+# D1/D2: crawl-once + in-wave dedup
+# ---------------------------------------------------------------------------
+
+def crawl_once_gate(
+    frontier: DataFrame,
+    url_seen: DataFrame,
+    new_ts_col: str = "warc_ts",
+    might_be_seen: Column | None = None,
+) -> DataFrame:
+    """Keep frontier rows that must be crawled (unseen, or newer capture).
+
+    ``might_be_seen``: optional boolean column (bloom/cuckoo probe). Rows
+    where it is False bypass the join entirely; only maybe-seen rows shuffle.
+    """
+    seen = url_seen.select(
+        F.col("url").alias("_seen_url"), F.col("last_ts").alias("_last_ts")
+    )
+    if might_be_seen is not None:
+        fresh = frontier.filter(~might_be_seen)
+        maybe = frontier.filter(might_be_seen)
+        checked = (
+            maybe.join(seen, maybe["url"] == seen["_seen_url"], "left")
+            .filter(F.col("_seen_url").isNull() | (F.col(new_ts_col) > F.col("_last_ts")))
+            .drop("_seen_url", "_last_ts")
+        )
+        return fresh.unionByName(checked)
+    return (
+        frontier.join(seen, frontier["url"] == seen["_seen_url"], "left")
+        .filter(F.col("_seen_url").isNull() | (F.col(new_ts_col) > F.col("_last_ts")))
+        .drop("_seen_url", "_last_ts")
+    )
+
+
+def dedup_by_key(df: DataFrame, key: str, order: str) -> DataFrame:
+    """D2: deterministic dropDuplicates — keep the min(order) row per key
+    (groupBy+min instead of dropDuplicates so results are reproducible)."""
+    keep = df.groupBy(key).agg(F.min(order).alias(order))
+    return df.join(keep, [key, order], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Training-data dedup suite (documents table)
+# ---------------------------------------------------------------------------
+
+def normalize_text(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash; keeps min doc_id per group.
+
+    Map-side partial agg (min) then one shuffle on the 128-bit digest —
+    the cheapest possible exact pass at 100 TB (hash first, never shuffle
+    the text itself)."""
+    hashed = docs.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("content_md5")
+    )
+    return (
+        hashed.groupBy("content_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per document: (doc_id, shingle) distinct rows.
+
+    Built with split + index-explode + slice-concat — all JVM expressions
+    (no UDF), and exactly reproducible in the DuckDB oracle."""
+    toks = F.split(normalize_text(text_col), " ")
+    df = docs.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= n)
+    idx = F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i")
+    df = df.select(id_col, "toks", idx)
+    gram = F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(n)))
+    return df.select(F.col(id_col), gram.alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard similarity.
+
+    Plan: shingle -> self-join on shingle (only co-occurring docs ever pair,
+    so the candidate space is bounded by shared shingles, not |docs|^2) ->
+    count intersections -> Jaccard = inter / (|A| + |B| - inter).
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of a_i*h + b_i mod p.
+
+    Permutation hashes derive from one portable md5-based base hash (28-bit,
+    so h*a+b stays far below int64 overflow under ANSI mode in both Spark
+    and DuckDB), so the oracle can reproduce signatures exactly."""
+    p = 2147483647  # 2^31 - 1 (Mersenne prime)
+    sh = shingles(docs, id_col, text_col, n).withColumn(
+        "h", portable_hash32("shingle")
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1)) % F.lit(p)).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs.
+
+    rows_per_band = num_hashes/bands; band key = md5 of the concatenated
+    band slice. One shuffle on (band, key); pairs emerge from the per-bucket
+    self-join — never a global cross join."""
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionByName(extra)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash fingerprint: sign-sum of token-hash bits.
+
+    Fully relational: token explode -> per-bit majority vote via sum of
+    (2*bit-1) -> reassemble integer. Portable (md5 hashes), oracle-exact."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
+        .withColumn("h", portable_hash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    Candidate generation by an existing coarse bucket (label here; at scale:
+    LSH hyperplane signs or IVF centroid ids) so the self-join is per-bucket,
+    then exact cosine via zip_with/aggregate — JVM higher-order functions,
+    no UDF."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *( [F.col(bucket_col).alias("bkt")] if bucket_col else [] ),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *( [F.col(bucket_col).alias("bkt")] if bucket_col else [] ),
+    )
+    joined = a.join(b, "bkt" if bucket_col else None) if bucket_col else a.crossJoin(b)
+    joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    return (
+        joined.withColumn("cosine", dot / (norm("vec_a") * norm("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

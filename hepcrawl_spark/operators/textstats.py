@@ -1,0 +1,90 @@
+"""Text-analysis operators for the training-data pipeline.
+
+Language-ID (stopword-ratio heuristic), quality scoring, token counting,
+document fingerprinting — all pure column expressions (JVM, codegen'd,
+oracle-reproducible). The reference's only language handling is the
+drop-English filter (inputs.py:114-123, F6); these generalize it to the
+scale pipeline the engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import normalize_text
+
+# A compact English function-word list; ratio of hits is the language signal.
+EN_STOPWORDS = [
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "on", "with", "as", "was", "be", "by", "at", "are", "this", "from",
+    "or", "an", "not", "we", "which",
+]
+
+
+def token_count_ws(text_col: str | Column = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(normalize_text(text_col), " "))
+
+
+def token_count_bpe_ish(text_col: str | Column = "text") -> Column:
+    """BPE-ish subword proxy: count of word pieces + digits + punctuation
+    runs (a deterministic stand-in for a real tokenizer's token count)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.regexp_count(c, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"))
+    return pieces.cast("long")
+
+
+def stopword_hits(text_col: str | Column = "text") -> Column:
+    toks = F.split(normalize_text(text_col), " ")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(
+        F.filter(toks, lambda t: F.array_contains(sw, t))
+    )
+
+
+def english_score(text_col: str | Column = "text") -> Column:
+    """stopword hits / tokens — the language-ID score."""
+    return stopword_hits(text_col) / token_count_ws(text_col)
+
+
+def langid(text_col: str | Column = "text", threshold: float = 0.08) -> Column:
+    return F.when(english_score(text_col) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, tokens, mean word length,
+    punctuation ratio, digit ratio, stopword ratio, and a composite score."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count_ws(text_col)
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double")
+    digits = F.regexp_count(c, F.lit(r"\d")).cast("double")
+    sw_ratio = english_score(text_col)
+    mean_word_len = (n_chars.cast("double") / n_tokens)
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.greatest(F.lit(0.0), F.lit(1.0) - punct / n_chars * 10) * 0.2
+        + F.greatest(F.lit(0.0), F.lit(1.0) - digits / n_chars * 10) * 0.2
+        + F.least(sw_ratio * 5, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(digits / n_chars, 4).alias("digit_ratio"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprint(text_col: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of the canonical token form (sorted distinct
+    tokens) — robust to reordering/duplication, the batch analogue of a
+    rolling-hash fingerprint, and exactly reproducible in SQL."""
+    toks = F.array_sort(F.array_distinct(F.split(normalize_text(text_col), " ")))
+    return F.md5(F.concat_ws(" ", toks))
