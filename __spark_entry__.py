@@ -1,38 +1,1136 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a thin wrapper over the hepcrawl_spark library
+(SURVEY.md §2 operator ids in the names); each ``oracle_sql()`` twin is ANSI
+SQL DuckDB runs over the same parquet views. Crawl tables (pages / frontier /
+url_seen / robots) are derived deterministically from ``documents`` by
+hepcrawl_spark.sources.pages, with the exact same derivation inlined as CTEs
+in the oracle SQL — so the gate checks real operator semantics, not table
+plumbing.
+
+Conventions that keep the value-hash compare stable:
+- every oracle-checked output column is a scalar (no arrays/maps/structs)
+- timestamps are formatted to strings; floats are rounded explicitly
+- hashes are md5-derived (bit-identical in both engines)
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from hepcrawl_spark.functions import text as T
+from hepcrawl_spark.functions.urls import basename_of, canonicalize_url, host_of, path_of
+from hepcrawl_spark.operators import dedup as D
+from hepcrawl_spark.operators import politeness as P
+from hepcrawl_spark.operators import similarity as S
+from hepcrawl_spark.operators import textstats as X
+from hepcrawl_spark.parsers.arxiv import parse_arxiv_pages
+from hepcrawl_spark.sources import pages as SRC
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+_CTE_PREFIX = (
+    "WITH "
+    + ",".join(
+        [SRC.PAGES_CTE, SRC.FRONTIER_CTE, SRC.URL_SEEN_CTE, SRC.ROBOTS_CTE]
+    )
+)
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _pages(spark: SparkSession, sf: str) -> DataFrame:
+    return SRC.pages_from_documents(_docs(spark, sf))
+
+
+def _frontier(spark: SparkSession, sf: str) -> DataFrame:
+    return SRC.frontier_from_pages(_pages(spark, sf))
+
+
+def _seen(spark: SparkSession, sf: str) -> DataFrame:
+    return SRC.url_seen_from_pages(_pages(spark, sf))
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — one politeness-scheduled, dedup-gated fetch wave
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship slice of the crawl pipeline at sf0.001: politeness wave ->
+    crawl-once gate -> fetch join -> per-host counters."""
+    sf = "/root/testdata/sf0.001"
+    pages = _pages(spark, sf)
+    frontier = _frontier(spark, sf)
+    seen = _seen(spark, sf)
+    wave = P.select_wave(frontier, max_per_host=10, salt=1).drop("wave_rank")
+    gated = D.crawl_once_gate(
+        wave.withColumn("warc_ts", F.col("discovered_ts")), seen
+    ).drop("warc_ts")
+    fetched = gated.join(pages.select("url", "text"), "url")
+    return (
+        fetched.groupBy("host")
+        .agg(F.count("*").alias("fetched"), F.sum(F.length("text")).alias("bytes"))
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles (kept adjacent per query for reviewability)
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# -- C1: URL canonicalization (pandas UDF) vs known canonical form ----------
+@_q(
+    "c1_canonicalize",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id,
+           'https://' || lower(source) || '.example.org/doc/' || doc_id
+             || '?a=1&b=2' AS url_canon
+    FROM documents ORDER BY doc_id""",
+)
+def c1_canonicalize(spark, sf):
+    messy = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.ORG:443/doc/"),
+            F.col("doc_id").cast("string"), F.lit("?b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id", canonicalize_url("url").alias("url_canon")
+    ).orderBy("doc_id")
+
+
+# -- C2/C22: host + path + basename (JVM parse_url) --------------------------
+@_q(
+    "c2_host_basename",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id,
+           source || '.example.org'    AS host,
+           '/doc/' || doc_id           AS path,
+           cast(doc_id AS varchar)     AS basename
+    FROM pages ORDER BY doc_id""",
+)
+def c2_host_basename(spark, sf):
+    return _pages(spark, sf).select(
+        "doc_id",
+        host_of("url").alias("host"),
+        path_of("url").alias("path"),
+        basename_of("url").alias("basename"),
+    ).orderBy("doc_id")
+
+
+# -- D1: crawl-once gate (exact anti-join path) ------------------------------
+_D1_ORACLE = f"""{_CTE_PREFIX}
+    SELECT f.url, f.doc_id
+    FROM frontier f
+    LEFT JOIN url_seen s ON f.url = s.url
+    WHERE s.url IS NULL OR f.discovered_ts > s.last_ts
+    ORDER BY f.doc_id"""
+
+
+@_q("d1_crawl_once_gate", _D1_ORACLE)
+def d1_crawl_once_gate(spark, sf):
+    fr = _frontier(spark, sf)
+    gated = D.crawl_once_gate(
+        fr.withColumn("warc_ts", F.col("discovered_ts")), _seen(spark, sf)
+    )
+    return gated.select("url", "doc_id").orderBy("doc_id")
+
+
+# -- D1b: same semantics through the bloom prefilter (must match exact SQL) --
+@_q("d1b_crawl_once_bloom", _D1_ORACLE)
+def d1b_crawl_once_bloom(spark, sf):
+    from hepcrawl_spark.operators.bloom import build_bloom, might_contain_udf
+
+    fr = _frontier(spark, sf)
+    seen = _seen(spark, sf)
+    bf = build_bloom(seen.select(F.xxhash64("url").alias("url_hash")))
+    probe = might_contain_udf(spark, bf)
+    gated = D.crawl_once_gate(
+        fr.withColumn("warc_ts", F.col("discovered_ts")).withColumn(
+            "_maybe", probe(F.xxhash64("url"))
+        ),
+        seen,
+        might_be_seen=F.col("_maybe"),
+    )
+    return gated.select("url", "doc_id").orderBy("doc_id")
+
+
+# -- D1c: same through the sharded cuckoo filter ------------------------------
+@_q("d1c_crawl_once_cuckoo", _D1_ORACLE)
+def d1c_crawl_once_cuckoo(spark, sf):
+    from hepcrawl_spark.operators.cuckoo import build_cuckoo, cuckoo_might_contain_udf
+
+    fr = _frontier(spark, sf)
+    seen = _seen(spark, sf)
+    cf = build_cuckoo(seen.select(F.xxhash64("url").alias("url_hash")), n_shards=8)
+    probe = cuckoo_might_contain_udf(spark, cf)
+    gated = D.crawl_once_gate(
+        fr.withColumn("warc_ts", F.col("discovered_ts")).withColumn(
+            "_maybe", probe(F.xxhash64("url"))
+        ),
+        seen,
+        might_be_seen=F.col("_maybe"),
+    )
+    return gated.select("url", "doc_id").orderBy("doc_id")
+
+
+# -- D2: deterministic identifier dedup --------------------------------------
+@_q(
+    "d2_identifier_dedup",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id % 50 AS identifier, min(url) AS url, count(*) AS n_dups
+    FROM pages GROUP BY doc_id % 50 ORDER BY identifier""",
+)
+def d2_identifier_dedup(spark, sf):
+    return (
+        _pages(spark, sf)
+        .groupBy((F.col("doc_id") % 50).alias("identifier"))
+        .agg(F.min("url").alias("url"), F.count("*").alias("n_dups"))
+        .orderBy("identifier")
+    )
+
+
+# -- S3/J1: missing-files anti-join ------------------------------------------
+@_q(
+    "s3_missing_anti_join",
+    f"""{_CTE_PREFIX}
+    SELECT p.url FROM pages p
+    WHERE NOT EXISTS (SELECT 1 FROM url_seen s WHERE s.url = p.url)
+    ORDER BY p.url""",
+)
+def s3_missing_anti_join(spark, sf):
+    pages = _pages(spark, sf)
+    return pages.join(_seen(spark, sf), "url", "left_anti").select("url").orderBy("url")
+
+
+# -- J5: the fetch join -------------------------------------------------------
+@_q(
+    "j5_fetch_join",
+    f"""{_CTE_PREFIX}
+    SELECT f.url, strftime(p.warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_str,
+           length(p.text) AS n_chars
+    FROM frontier f JOIN pages p ON f.url = p.url
+    WHERE f.priority >= 0.5 ORDER BY f.url""",
+)
+def j5_fetch_join(spark, sf):
+    fr = _frontier(spark, sf).filter(F.col("priority") >= 0.5)
+    pages = _pages(spark, sf)
+    return (
+        fr.join(pages.select("url", "warc_ts", "text"), "url")
+        .select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_str"),
+            F.length("text").alias("n_chars"),
+        )
+        .orderBy("url")
+    )
+
+
+# -- J2/J3: within-row map lookup (affiliation resolution shape) -------------
+@_q(
+    "j2_affiliation_lookup",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id, 'Institute of ' || source AS affiliation
+    FROM documents ORDER BY doc_id""",
+)
+def j2_affiliation_lookup(spark, sf):
+    docs = _docs(spark, sf)
+    with_map = docs.select(
+        "doc_id",
+        F.map_from_entries(
+            F.array(
+                F.struct(
+                    F.lit("a1").alias("k"),
+                    F.concat(F.lit("Institute of "), "source").alias("v"),
+                )
+            )
+        ).alias("aff_map"),
+        F.lit("a1").alias("rid"),
+    )
+    return with_map.select(
+        "doc_id", F.element_at("aff_map", F.col("rid")).alias("affiliation")
+    ).orderBy("doc_id")
+
+
+# -- P1/P2: politeness wave (per-host window cap) -----------------------------
+@_q(
+    "p1_politeness_wave",
+    f"""{_CTE_PREFIX}
+    SELECT host, url, wave_rank FROM (
+      SELECT host, url,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, discovered_ts, url)
+               AS wave_rank
+      FROM frontier
+    ) WHERE wave_rank <= 5 ORDER BY host, wave_rank""",
+)
+def p1_politeness_wave(spark, sf):
+    wave = P.select_wave(_frontier(spark, sf), max_per_host=5, salt=1)
+    return wave.select("host", "url", "wave_rank").orderBy("host", "wave_rank")
+
+
+# -- P4: deterministic global dispatch order ----------------------------------
+@_q(
+    "p4_crawl_order",
+    f"""{_CTE_PREFIX}
+    SELECT dispatch_order, url FROM (
+      SELECT url, row_number() OVER (ORDER BY priority DESC, discovered_ts, url)
+               AS dispatch_order
+      FROM frontier
+    ) WHERE dispatch_order <= 100 ORDER BY dispatch_order""",
+)
+def p4_crawl_order(spark, sf):
+    ordered = P.crawl_order(_frontier(spark, sf))
+    return (
+        ordered.filter(F.col("dispatch_order") <= 100)
+        .select("dispatch_order", "url")
+        .orderBy("dispatch_order")
+    )
+
+
+# -- P5: robots gating ---------------------------------------------------------
+@_q(
+    "p5_robots_gate",
+    f"""{_CTE_PREFIX}
+    SELECT f.url FROM frontier f
+    WHERE NOT EXISTS (
+      SELECT 1 FROM robots r
+      WHERE r.host = f.host AND starts_with('/doc/' || f.doc_id, r.path_prefix)
+    ) ORDER BY f.url""",
+)
+def p5_robots_gate(spark, sf):
+    fr = _frontier(spark, sf)
+    robots = SRC.robots_from_documents(_docs(spark, sf))
+    return P.robots_gate(fr, robots).select("url").orderBy("url")
+
+
+# -- P6: retry priority decay ---------------------------------------------------
+@_q(
+    "p6_retry_decay",
+    f"""{_CTE_PREFIX}
+    SELECT url, priority * 0.5 AS priority, 1 AS attempt
+    FROM frontier WHERE doc_id % 5 = 0 ORDER BY url""",
+)
+def p6_retry_decay(spark, sf):
+    failed = (
+        _frontier(spark, sf)
+        .filter(F.col("doc_id") % 5 == 0)
+        .withColumn("attempt", F.lit(0))
+    )
+    return (
+        P.decay_priority(failed)
+        .select("url", "priority", "attempt")
+        .orderBy("url")
+    )
+
+
+# -- P2b: host pressure (hot-host detection input) ------------------------------
+@_q(
+    "p2_host_pressure",
+    f"""{_CTE_PREFIX}
+    SELECT host, count(*) AS n,
+           count(*) > (SELECT avg(cnt) FROM
+                        (SELECT count(*) AS cnt FROM frontier GROUP BY host))
+             AS hot
+    FROM frontier GROUP BY host ORDER BY host""",
+)
+def p2_host_pressure(spark, sf):
+    counts = _frontier(spark, sf).groupBy("host").agg(F.count("*").alias("n"))
+    avg = counts.agg(F.avg("n").alias("a"))
+    return (
+        counts.crossJoin(F.broadcast(avg))
+        .select("host", "n", (F.col("n") > F.col("a")).alias("hot"))
+        .orderBy("host")
+    )
+
+
+# -- F1: article-type allowlist -------------------------------------------------
+_ALLOWED_TYPES = [f"type{i}" for i in range(9)]
+
+
+@_q(
+    "f1_article_allowlist",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id, 'type' || (doc_id % 11) AS article_type FROM documents
+    WHERE 'type' || (doc_id % 11) IN ({",".join("'" + t + "'" for t in _ALLOWED_TYPES)})
+    ORDER BY doc_id""",
+)
+def f1_article_allowlist(spark, sf):
+    docs = _docs(spark, sf).withColumn(
+        "article_type",
+        F.concat(F.lit("type"), (F.col("doc_id") % 11).cast("string")),
+    )
+    return (
+        docs.filter(F.col("article_type").isin(_ALLOWED_TYPES))
+        .select("doc_id", "article_type")
+        .orderBy("doc_id")
+    )
+
+
+# -- F6: language filter (drop English) -------------------------------------------
+@_q(
+    "f6_language_filter",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id, lang FROM pages WHERE lang <> 'en' ORDER BY doc_id""",
+)
+def f6_language_filter(spark, sf):
+    return (
+        _pages(spark, sf)
+        .filter(F.col("lang") != "en")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# -- C16: language code -> name ----------------------------------------------------
+_LANG_CASE = "CASE lower(lang) " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in T.LANGUAGES.items()
+) + " END"
+
+
+@_q(
+    "c16_language_names",
+    f"""{_CTE_PREFIX}
+    SELECT lang, {_LANG_CASE} AS lang_name, count(*) AS n
+    FROM pages GROUP BY lang ORDER BY lang""",
+)
+def c16_language_names(spark, sf):
+    return (
+        _pages(spark, sf)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select("lang", T.language_name("lang").alias("lang_name"), "n")
+        .orderBy("lang")
+    )
+
+
+# -- C4: whitespace collapse ---------------------------------------------------------
+@_q(
+    "c4_whitespace_collapse",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id,
+           trim(regexp_replace('  ' || text || '   ', '\\s+', ' ', 'g')) AS clean
+    FROM documents ORDER BY doc_id""",
+)
+def c4_whitespace_collapse(spark, sf):
+    padded = _docs(spark, sf).select(
+        "doc_id", F.concat(F.lit("  "), "text", F.lit("   ")).alias("padded")
+    )
+    return padded.select(
+        "doc_id", T.collapse_whitespace("padded").alias("clean")
+    ).orderBy("doc_id")
+
+
+# -- C5: html sub/sup -> latex ----------------------------------------------------------
+@_q(
+    "c5_subsup_latex",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id, 'H$_{{' || doc_id || '}}$O and x$^{{2}}$' AS latex
+    FROM documents ORDER BY doc_id""",
+)
+def c5_subsup_latex(spark, sf):
+    raw = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("H<sub>"), F.col("doc_id").cast("string"),
+            F.lit("</sub>O and x<sup>2</sup>"),
+        ).alias("html"),
+    )
+    return raw.select("doc_id", T.html_subsup_to_latex("html").alias("latex")).orderBy(
+        "doc_id"
+    )
+
+
+# -- C7: initials collapse ------------------------------------------------------------
+@_q(
+    "c7_initials_collapse",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id, 'T.A.B. ' || source AS name FROM documents ORDER BY doc_id""",
+)
+def c7_initials_collapse(spark, sf):
+    raw = _docs(spark, sf).select(
+        "doc_id", F.concat(F.lit("T. A.-B. "), "source").alias("name")
+    )
+    return raw.select(
+        "doc_id", T.collapse_initials_col("name").alias("name")
+    ).orderBy("doc_id")
+
+
+# -- C10: journal/section split ----------------------------------------------------------
+@_q(
+    "c10_journal_section",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id, 'Phys. Lett.' AS journal,
+           substr('ABCDE', (doc_id % 5)::INT + 1, 1) AS section
+    FROM documents ORDER BY doc_id""",
+)
+def c10_journal_section(spark, sf):
+    raw = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("Phys. Lett. "),
+            F.lit("ABCDE").substr(
+                (F.col("doc_id") % 5).cast("int") + F.lit(1), F.lit(1)
+            ),
+        ).alias("pub"),
+    )
+    journal, section = T.journal_and_section("pub")
+    return raw.select(
+        "doc_id", journal.alias("journal"), section.alias("section")
+    ).orderBy("doc_id")
+
+
+# -- C11: multi-format date waterfall -------------------------------------------------------
+@_q(
+    "c11_date_waterfall",
+    f"""{_CTE_PREFIX}
+    , raw AS (
+      SELECT doc_id,
+             2000 + doc_id % 20 AS y, 1 + doc_id % 12 AS m, 1 + doc_id % 28 AS d,
+             doc_id % 3 AS fmt
+      FROM documents
+    ), strs AS (
+      SELECT doc_id,
+        CASE fmt
+          WHEN 0 THEN lpad(y::VARCHAR,4,'0') || '-' || lpad(m::VARCHAR,2,'0') || '-' || lpad(d::VARCHAR,2,'0')
+          WHEN 1 THEN lpad(d::VARCHAR,2,'0') || '/' || lpad(m::VARCHAR,2,'0') || '/' || lpad(y::VARCHAR,4,'0')
+          ELSE lpad(y::VARCHAR,4,'0') || '/' || lpad(m::VARCHAR,2,'0') || '/' || lpad(d::VARCHAR,2,'0')
+        END AS ds
+      FROM raw
+    )
+    SELECT doc_id, ds,
+           coalesce(try_strptime(ds, '%Y-%m-%d'),
+                    try_strptime(ds, '%d/%m/%Y'),
+                    try_strptime(ds, '%Y/%m/%d'))::DATE::VARCHAR AS parsed
+    FROM strs ORDER BY doc_id""",
+)
+def c11_date_waterfall(spark, sf):
+    docs = _docs(spark, sf)
+    y = (F.lit(2000) + F.col("doc_id") % 20).cast("string")
+    m = F.lpad((F.lit(1) + F.col("doc_id") % 12).cast("string"), 2, "0")
+    d = F.lpad((F.lit(1) + F.col("doc_id") % 28).cast("string"), 2, "0")
+    ds = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws("-", y, m, d))
+        .when(F.col("doc_id") % 3 == 1, F.concat_ws("/", d, m, y))
+        .otherwise(F.concat_ws("/", y, m, d))
+    )
+    raw = docs.select("doc_id", ds.alias("ds"))
+    parsed = F.coalesce(
+        F.expr("try_to_date(ds, 'yyyy-MM-dd')"),
+        F.expr("try_to_date(ds, 'dd/MM/yyyy')"),
+        F.expr("try_to_date(ds, 'yyyy/MM/dd')"),
+    )
+    return raw.select(
+        "doc_id", "ds", parsed.cast("string").alias("parsed")
+    ).orderBy("doc_id")
+
+
+# -- C13: page-count regex ---------------------------------------------------------------
+@_q(
+    "c13_page_count",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN (doc_id % 40)::INT END AS page_nr
+    FROM documents ORDER BY doc_id""",
+)
+def c13_page_count(spark, sf):
+    raw = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("see "), (F.col("doc_id") % 40).cast("string"), F.lit(" pages, 3 figures")
+            ),
+        )
+        .otherwise(F.lit("no page info"))
+        .alias("comments"),
+    )
+    return raw.select("doc_id", T.page_count("comments").alias("page_nr")).orderBy(
+        "doc_id"
+    )
+
+
+# -- C14: DOI split + explode ----------------------------------------------------------------
+@_q(
+    "c14_doi_split",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id, doi FROM (
+      SELECT doc_id, '10.1103/a' || doc_id AS doi FROM documents
+      UNION ALL
+      SELECT doc_id, '10.1007/b' || doc_id AS doi FROM documents
+    ) ORDER BY doc_id, doi""",
+)
+def c14_doi_split(spark, sf):
+    raw = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("10.1103/a"), F.col("doc_id").cast("string"),
+            F.lit(", 10.1007/b"), F.col("doc_id").cast("string"),
+        ).alias("doi_str"),
+    )
+    return (
+        raw.select("doc_id", F.explode(T.split_dois("doi_str")).alias("doi"))
+        .orderBy("doc_id", "doi")
+    )
+
+
+# -- C15: doctype classification -----------------------------------------------------------------
+@_q(
+    "c15_doctype_classify",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 1 THEN 'thesis'
+                           WHEN 2 THEN 'conference paper'
+                           ELSE 'article' END AS doctype
+    FROM documents ORDER BY doc_id""",
+)
+def c15_doctype_classify(spark, sf):
+    raw = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 3 == 1, F.lit(" Based on the PhD dissertation"))
+            .when(F.col("doc_id") % 3 == 2, F.lit(" presented at the workshop"))
+            .otherwise(F.lit("")),
+        ).alias("comments"),
+    )
+    return raw.select(
+        "doc_id", T.classify_doctype("comments").alias("doctype")
+    ).orderBy("doc_id")
+
+
+# -- A1: crawl counters ------------------------------------------------------------------------
+@_q(
+    "a1_crawl_counters",
+    f"""{_CTE_PREFIX}
+    SELECT source, count(*) AS n_pages,
+           count(DISTINCT lang) AS n_langs,
+           strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM pages GROUP BY source ORDER BY source""",
+)
+def a1_crawl_counters(spark, sf):
+    return (
+        _pages(spark, sf)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- A3/A4: earliest date via null-skipping least + coalesce preference -------------------------
+@_q(
+    "a3_earliest_date",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id,
+           least(warc_ts::DATE,
+                 CASE WHEN doc_id % 2 = 0 THEN (warc_ts + INTERVAL 5 DAY)::DATE END,
+                 CASE WHEN doc_id % 7 = 0 THEN (warc_ts - INTERVAL 3 DAY)::DATE END
+           )::VARCHAR AS earliest
+    FROM pages ORDER BY doc_id""",
+)
+def a3_earliest_date(spark, sf):
+    p = _pages(spark, sf)
+    d1 = F.col("warc_ts").cast("date")
+    d2 = F.when(F.col("doc_id") % 2 == 0, F.date_add(d1, 5))
+    d3 = F.when(F.col("doc_id") % 7 == 0, F.date_sub(d1, 3))
+    return p.select(
+        "doc_id", F.least(d1, d2, d3).cast("string").alias("earliest")
+    ).orderBy("doc_id")
+
+
+# -- A5: year-range compaction (islands & gaps) ---------------------------------------------------
+@_q(
+    "a5_year_ranges",
+    """WITH yrs AS (
+      SELECT DISTINCT o_orderpriority AS grp, year(o_orderdate) AS y FROM orders
+    ), isl AS (
+      SELECT grp, y, y - row_number() OVER (PARTITION BY grp ORDER BY y) AS island
+      FROM yrs
+    ), rng AS (
+      SELECT grp, min(y) AS y0, max(y) AS y1 FROM isl GROUP BY grp, island
+    )
+    SELECT grp,
+           string_agg(CASE WHEN y0 = y1 THEN y0::VARCHAR
+                           ELSE y0::VARCHAR || '-' || y1::VARCHAR END,
+                      ', ' ORDER BY y0) AS year_ranges
+    FROM rng GROUP BY grp ORDER BY grp""",
+)
+def a5_year_ranges(spark, sf):
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    yrs = orders.select(
+        F.col("o_orderpriority").alias("grp"), F.year("o_orderdate").alias("y")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("y")
+    isl = yrs.withColumn("island", F.col("y") - F.row_number().over(w))
+    rng = isl.groupBy("grp", "island").agg(
+        F.min("y").alias("y0"), F.max("y").alias("y1")
+    )
+    rstr = F.when(F.col("y0") == F.col("y1"), F.col("y0").cast("string")).otherwise(
+        F.concat(F.col("y0").cast("string"), F.lit("-"), F.col("y1").cast("string"))
+    )
+    return (
+        rng.select("grp", F.struct("y0", rstr.alias("s")).alias("pair"))
+        .groupBy("grp")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("pair")), lambda x: x["s"]),
+                ", ",
+            ).alias("year_ranges")
+        )
+        .orderBy("grp")
+    )
+
+
+# -- A6: page count from range --------------------------------------------------------------------
+@_q(
+    "a6_page_count_arith",
+    f"""{_CTE_PREFIX}
+    SELECT doc_id, (doc_id % 10 + 1)::INT AS page_nr FROM documents ORDER BY doc_id""",
+)
+def a6_page_count_arith(spark, sf):
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % 50 + 1).alias("fpage"),
+        (F.col("doc_id") % 50 + 1 + F.col("doc_id") % 10).alias("lpage"),
+    )
+    return docs.select(
+        "doc_id", T.page_nr_from_range("fpage", "lpage").alias("page_nr")
+    ).orderBy("doc_id")
+
+
+# -- U2/O2: union + distinct + sort (exploded to scalar rows) --------------------------------------
+@_q(
+    "u2_union_distinct",
+    f"""{_CTE_PREFIX}
+    SELECT DISTINCT doc_id, tok FROM (
+      SELECT doc_id, unnest(string_split(substr({_NORM_SQL}, 1, 60), ' ')) AS tok
+      FROM documents
+    ) WHERE tok <> '' ORDER BY doc_id, tok""",
+)
+def u2_union_distinct(spark, sf):
+    docs = _docs(spark, sf)
+    toks = F.split(F.substring(D.normalize_text("text"), 1, 60), " ")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .orderBy("doc_id", "tok")
+    )
+
+
+# -- S13/C21: JSON extraction ------------------------------------------------------------------------
+@_q(
+    "s13_json_extract",
+    """SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+    FROM events ORDER BY event_id""",
+)
+def s13_json_extract(spark, sf):
+    ev = _events(spark, sf)
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    ).orderBy("event_id")
+
+
+# -- W1: tumbling-window aggregation (batch twin of the streaming op) --------------------------------
+@_q(
+    "w1_tumbling_window",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win,
+              event_type, count(*) AS n, round(sum(value), 3) AS total
+    FROM events GROUP BY 1, 2 ORDER BY win, event_type""",
+)
+def w1_tumbling_window(spark, sf):
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total"))
+        .orderBy("win", "event_type")
+    )
+
+
+# -- X1: exact dedup ------------------------------------------------------------------------------------
+@_q(
+    "x1_exact_dedup",
+    f"""WITH hashed AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS content_md5 FROM documents
+    )
+    SELECT content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM hashed GROUP BY content_md5 ORDER BY content_md5""",
+)
+def x1_exact_dedup(spark, sf):
+    return D.exact_dedup(_docs(spark, sf)).orderBy("content_md5")
+
+
+_SHINGLE_CTE = f"""toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, len(t) - 1)) AS i(i)
+      WHERE len(t) >= 3
+    )"""
+
+
+# -- X2: n-gram jaccard near-dup pairs ----------------------------------------------------------------
+@_q(
+    "x2_ngram_jaccard",
+    f"""WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+    ORDER BY id_a, id_b""",
+)
+def x2_ngram_jaccard(spark, sf):
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# -- X3: minhash signatures -------------------------------------------------------------------------------
+_MH_N = 8
+
+
+def _sig_select() -> str:
+    h = "(('0x' || substr(md5(shingle), 1, 7))::BIGINT)"
+    cols = ", ".join(
+        f"min(({h} * {2 * i + 1} + {i * i + 1}) % 2147483647) AS mh{i}"
+        for i in range(_MH_N)
+    )
+    return f"SELECT doc_id, {cols} FROM grams GROUP BY doc_id"
+
+
+@_q(
+    "x3_minhash_signatures",
+    f"""WITH {_SHINGLE_CTE}
+    {_sig_select()} ORDER BY doc_id""",
+)
+def x3_minhash_signatures(spark, sf):
+    return D.minhash_signatures(_docs(spark, sf), num_hashes=_MH_N).orderBy("doc_id")
+
+
+# -- X3b: minhash LSH candidate pairs ------------------------------------------------------------------------
+@_q(
+    "x3b_minhash_lsh_candidates",
+    # bands of 2 rows over the 8 signatures above
+    f"""WITH {_SHINGLE_CTE},
+    sig AS ({_sig_select()}),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b""",
+)
+def x3b_minhash_lsh_candidates(spark, sf):
+    return D.minhash_lsh_candidates(
+        _docs(spark, sf), num_hashes=_MH_N, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+# -- X4: simhash fingerprints ----------------------------------------------------------------------------------
+_SH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    h = "(('0x' || substr(md5(tok), 1, 15))::BIGINT)"
+    votes = ", ".join(
+        f"sum(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SH_BITS)
+    )
+    return f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ), agg AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+    SELECT doc_id, ({fp})::BIGINT AS simhash FROM agg ORDER BY doc_id"""
+
+
+@_q("x4_simhash", _simhash_oracle())
+def x4_simhash(spark, sf):
+    return D.simhash(_docs(spark, sf), bits=_SH_BITS).orderBy("doc_id")
+
+
+# -- X5: brute-force cosine top-k ---------------------------------------------------------------------------------
+@_q(
+    "x5_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+)
+def x5_cosine_topk(spark, sf):
+    emb = _emb(spark, sf)
+    out = S.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+# -- X5b: IVF-bucketed ANN (probe only the query's coarse cell) -----------------------------------------------------
+@_q(
+    "x5b_ivf_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS cell
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+      FROM embeddings e JOIN q ON e.label = q.cell WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+)
+def x5b_ivf_topk(spark, sf):
+    emb = _emb(spark, sf)
+    out = S.ivf_topk(emb, emb.filter("vec_id < 8"), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+# -- X6: embedding near-dup pairs -------------------------------------------------------------------------------------
+@_q(
+    "x6_embedding_neardup",
+    """WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+)
+def x6_embedding_neardup(spark, sf):
+    pairs = D.embedding_neardup_pairs(_emb(spark, sf), threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+# -- X7: language-ID score ----------------------------------------------------------------------------------------------
+@_q(
+    "x7_langid",
+    f"""WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(t, x -> list_contains(
+             [{",".join("'" + w + "'" for w in X.EN_STOPWORDS)}], x))) * 1.0
+             / len(t), 4) AS en_score
+    FROM toks ORDER BY doc_id""",
+)
+def x7_langid(spark, sf):
+    return (
+        _docs(spark, sf)
+        .select("doc_id", F.round(X.english_score("text"), 4).alias("en_score"))
+        .orderBy("doc_id")
+    )
+
+
+# -- X8: token counting ----------------------------------------------------------------------------------------------------
+@_q(
+    "x8_token_counts",
+    f"""SELECT doc_id,
+           len(string_split({_NORM_SQL}, ' ')) AS n_ws,
+           len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|\\d|[^\\sA-Za-z\\d]')) AS n_bpe
+    FROM documents ORDER BY doc_id""",
+)
+def x8_token_counts(spark, sf):
+    return (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            X.token_count_ws("text").alias("n_ws"),
+            X.token_count_bpe_ish("text").alias("n_bpe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- X9: document fingerprint -------------------------------------------------------------------------------------------------
+@_q(
+    "x9_fingerprint",
+    f"""SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split({_NORM_SQL}, ' '))), ' ')) AS fp
+    FROM documents ORDER BY doc_id""",
+)
+def x9_fingerprint(spark, sf):
+    return (
+        _docs(spark, sf)
+        .select("doc_id", X.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# -- Q1: TPC-H pricing summary (relational parity check) -------------------------------------------------------------------------
+@_q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# -- Q3: multi-join shipping priority (broadcast dims) ------------------------------------------------------------------------------
+@_q(
+    "q3_order_revenue",
+    """SELECT o.o_orderkey,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              o.o_orderdate::VARCHAR AS o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 20""",
+)
+def q3_order_revenue(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey", "revenue", F.col("o_orderdate").cast("string").alias("o_orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# -- F5: arxiv parse over fixture-free synthetic OAI bodies (rows-only check) ----------------------------------------------------------
+@_q("f5_arxiv_parse")  # no SQL oracle: XML parsing isn't SQL-expressible
+def f5_arxiv_parse(spark, sf):
+    docs = _docs(spark, sf).limit(50)
+    body = F.concat(
+        F.lit(
+            '<OAI-PMH><GetRecord><record><header><identifier>oai:x:'
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</identifier></header><metadata><arXiv><id>2400."),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><created>2024-01-01</created><authors><author><keyname>Doe</keyname>"
+              "<forenames>J.  K.</forenames></author></authors><title>T "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><categories>hep-th chao-dyn</categories><comments>"),
+        (F.col("doc_id") % 30).cast("string"),
+        F.lit(" pages, workshop</comments><abstract> A  b </abstract></arXiv>"
+              "</metadata></record></GetRecord></OAI-PMH>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://arxiv.example.org/abs/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    recs = parse_arxiv_pages(pages)
+    return recs.select(
+        "url", "arxiv_eprint", "title", "abstract", "page_nr", "document_type",
+        F.size("authors").alias("n_authors"),
+        F.array_join("arxiv_categories", " ").alias("categories"),
+    ).orderBy("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "frontier_urls_per_sec": ...}
+
+The headline is the crawl fixpoint (the north-star metric is frontier URLs
+scheduled+parsed per second); the rest are the scale-relevant operator
+pipelines. Scaling-efficiency evidence (local[8] vs local[32]) is produced
+by tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.crawl.frontier import CrawlConfig, run_crawl
+    from hepcrawl_spark.operators import dedup as D
+    from hepcrawl_spark.operators import textstats as X
+    from hepcrawl_spark.session import get_spark
+    from hepcrawl_spark.sources.pages import synthesize_corpus
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="hepcrawl-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_label = sf_dir.rstrip("/").split("sf")[-1]
+    lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_pages = max(5_000, lineitem_rows // 12)  # sf0.1 -> 50k-page corpus
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- headline: crawl fixpoint over the synthetic web graph ---------------
+    corpus = synthesize_corpus(spark, n_pages=n_pages, n_hosts=64, links_per_page=4)
+    corpus = corpus.persist()
+    corpus.count()  # materialize outside the timed section
+    seeds = (
+        corpus.filter(F.col("page_id") % 100 == 0)
+        .select(
+            "url", "host", F.lit(1.0).alias("priority"),
+            F.col("warc_ts").alias("discovered_ts"),
+        )
+    )
+
+    state_dir = f"/tmp/hepcrawl_bench_state_{os.getpid()}"
+    res = timed(
+        "crawl_fixpoint",
+        lambda: run_crawl(
+            spark, corpus, seeds,
+            CrawlConfig(
+                max_iterations=4, max_per_host=2000, salt=4,
+                filter_mode="bloom", state_dir=state_dir,
+            ),
+        ),
+    )
+    urls_done = res.total_scheduled + res.total_fetched
+    extras["frontier_urls_per_sec"] = round(urls_done / timings["crawl_fixpoint"], 1)
+    extras["crawl_urls_scheduled"] = res.total_scheduled
+    extras["crawl_pages_fetched"] = res.total_fetched
+    extras["crawl_iterations"] = len(res.iterations)
+
+    # -- scale-relevant operator pipelines -----------------------------------
+    docs_big = corpus.select(
+        F.col("page_id").alias("doc_id"), F.col("text")
+    )
+
+    timed(
+        "minhash_lsh_dedup",
+        lambda: D.minhash_lsh_candidates(docs_big, num_hashes=8, bands=4).count(),
+    )
+    timed("exact_dedup", lambda: D.exact_dedup(docs_big).count())
+    timed(
+        "quality_tokens",
+        lambda: X.quality_features(docs_big).agg(F.avg("quality_score")).collect(),
+    )
+
+    qs = entry.queries()
+    for name in ("q1_pricing_summary", "q3_order_revenue", "w1_tumbling_window",
+                 "x5_cosine_topk", "p1_politeness_wave", "d1b_crawl_once_bloom"):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline pipeline wall-clock (crawl fixpoint + operator suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_label,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,7 @@ _MATH_SPAN = re.compile(r"\$\$.*?\$\$|\$[^$]*\$", re.DOTALL)
 # \macro{arg} | \macro | \'{e} | \'e
 _MACRO = re.compile(
     r"\\(sqrt)\s*\{([^{}]*)\}"        # 1,2: \sqrt{...}
-    r"|\\([a-zA-Z]+)\s*"              # 3:   \word
+    r"|\\([a-zA-Z]+)"                 # 3:   \word (source spacing preserved)
     r"|\\(['`\"^~])\{?([a-zA-Z])\}?"  # 4,5: accents
 )
 

@@ -88,9 +88,10 @@ def collapse_whitespace(col: Column | str) -> Column:
 
 
 def html_subsup_to_latex(col: Column | str) -> Column:
-    """C5: ``<sub>x</sub>`` -> ``$_{x}$``, ``<sup>x</sup>`` -> ``$^{x}$``."""
-    out = F.regexp_replace(_c(col), r"<sub>\s*(.*?)\s*</sub>", r"$$_{$1}$$")
-    return F.regexp_replace(out, r"<sup>\s*(.*?)\s*</sup>", r"$$^{$1}$$")
+    """C5: ``<sub>x</sub>`` -> ``$_{x}$``, ``<sup>x</sup>`` -> ``$^{x}$``.
+    (Literal ``$`` in a Java regex replacement must be ``\\$``.)"""
+    out = F.regexp_replace(_c(col), r"<sub>\s*(.*?)\s*</sub>", r"\$_{$1}\$")
+    return F.regexp_replace(out, r"<sup>\s*(.*?)\s*</sup>", r"\$^{$1}\$")
 
 
 def collapse_initials_col(col: Column | str) -> Column:
@@ -102,8 +103,10 @@ def journal_and_section(col: Column | str) -> tuple[Column, Column]:
     """C10: trailing section letter A-E split off a journal title."""
     c = _c(col)
     section = F.regexp_extract(c, r"(?:^|[^A-Za-z])([A-E])\s*$", 1)
+    # the reference keeps a trailing period on the journal ("Phys. Lett. A"
+    # -> "Phys. Lett.", utils.py:285-304) — strip separators but not dots
     journal = F.when(
-        section != "", F.trim(F.regexp_replace(c, r"[\s.,;:]*[A-E]\s*$", ""))
+        section != "", F.trim(F.regexp_replace(c, r"[\s,;:]*[A-E]\s*$", ""))
     ).otherwise(F.trim(c))
     return journal, section
 

@@ -29,6 +29,24 @@ from pyspark.sql.types import BooleanType
 
 _SLOTS = 4
 _MAX_KICKS = 500
+_M64 = (1 << 64) - 1
+
+
+def _mix64_py(v: int) -> int:
+    """splitmix64 finalizer — keys must be scrambled before fingerprint/bucket
+    extraction or small/sequential keys all share fingerprint 0."""
+    v = (v + 0x9E3779B97F4A7C15) & _M64
+    v = ((v ^ (v >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    v = ((v ^ (v >> 27)) * 0x94D049BB133111EB) & _M64
+    return v ^ (v >> 31)
+
+
+def _mix64_np(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64)
+    v = v + np.uint64(0x9E3779B97F4A7C15)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
 
 
 class CuckooFilter:
@@ -63,7 +81,7 @@ class CuckooFilter:
 
     # -- single-key ops (build path, python loop per key within a shard) ------
     def insert(self, v: int) -> bool:
-        arr = np.array([v], dtype=np.uint64)
+        arr = np.array([_mix64_py(int(v) & _M64)], dtype=np.uint64)
         fp = int(self._fp(arr)[0])
         b1 = int(self._b1(arr)[0])
         b2 = int(self._b2(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
@@ -90,7 +108,7 @@ class CuckooFilter:
         return False  # table full
 
     def delete(self, v: int) -> bool:
-        arr = np.array([v], dtype=np.uint64)
+        arr = np.array([_mix64_py(int(v) & _M64)], dtype=np.uint64)
         fp = int(self._fp(arr)[0])
         b1 = int(self._b1(arr)[0])
         b2 = int(self._b2(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
@@ -106,7 +124,7 @@ class CuckooFilter:
     def might_contain(self, values: np.ndarray) -> np.ndarray:
         if len(values) == 0:
             return np.zeros(0, dtype=bool)
-        v = values.astype(np.uint64)
+        v = _mix64_np(values)
         fp = self._fp(v)
         b1 = self._b1(v)
         b2 = self._b2(b1, fp)

@@ -254,13 +254,14 @@ def embedding_neardup_pairs(
     )
     joined = a.join(b, "bkt" if bucket_col else None) if bucket_col else a.crossJoin(b)
     joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))
     dot = F.aggregate(
-        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.zip_with(dbl("vec_a"), dbl("vec_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+        F.aggregate(F.transform(dbl(c), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
     )
     return (
         joined.withColumn("cosine", dot / (norm("vec_a") * norm("vec_b")))

@@ -22,15 +22,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _dbl(c: str | Column) -> Column:
+    """Cast array<float> -> array<double> so accumulation is double-precision
+    (and bitwise-reproducible in the DuckDB oracle)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
 def _dot(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
 def _norm(c: str | Column) -> Column:
     return F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        F.aggregate(F.transform(_dbl(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
 
 

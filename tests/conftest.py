@@ -1,0 +1,14 @@
+import pytest
+
+from hepcrawl_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+FIXTURES = "/root/reference/tests/unit/responses"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="hepcrawl-spark-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()

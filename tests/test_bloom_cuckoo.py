@@ -1,0 +1,62 @@
+import numpy as np
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hepcrawl_spark.operators.bloom import BloomFilter, build_bloom, might_contain_udf
+from hepcrawl_spark.operators.cuckoo import CuckooFilter, build_cuckoo
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=200))
+@settings(max_examples=25, deadline=None)
+def test_bloom_no_false_negatives(values):
+    bf = BloomFilter.sized_for(max(len(values), 1))
+    arr = np.array(values, dtype=np.int64)
+    if len(arr):
+        bf.add(arr)
+        assert bf.might_contain(arr).all()
+
+
+def test_bloom_fpp_reasonable():
+    bf = BloomFilter.sized_for(10_000, fpp=0.01)
+    ins = np.arange(10_000, dtype=np.int64)
+    probe = np.arange(10_000, 30_000, dtype=np.int64)
+    bf.add(ins)
+    fp_rate = bf.might_contain(probe).mean()
+    assert fp_rate < 0.03
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**62), max_size=100))
+@settings(max_examples=25, deadline=None)
+def test_cuckoo_membership_and_delete(values):
+    cf = CuckooFilter.sized_for(max(len(values), 8))
+    vals = list(values)
+    for v in vals:
+        assert cf.insert(v)
+    if vals:
+        arr = np.array(vals, dtype=np.uint64)
+        assert cf.might_contain(arr).all()
+        cf.delete(vals[0])
+        # deleted element *may* still hit via fingerprint collision with
+        # another inserted element, but with distinct values usually not;
+        # the rest must still be present (no false negatives on remaining)
+        assert cf.might_contain(arr[1:]).all() if len(vals) > 1 else True
+
+
+def test_distributed_bloom_matches_local(spark):
+    df = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    bf = build_bloom(df, n_items=5000)
+    local_vals = np.array(
+        [r["url_hash"] for r in df.collect()], dtype=np.int64
+    )
+    assert bf.might_contain(local_vals).all()
+
+
+def test_distributed_cuckoo_udf_roundtrip(spark):
+    from hepcrawl_spark.operators.cuckoo import cuckoo_might_contain_udf
+
+    df = spark.range(0, 2000).select(F.xxhash64("id").alias("url_hash"))
+    cf = build_cuckoo(df, n_shards=8, n_items=2000)
+    probe = cuckoo_might_contain_udf(spark, cf)
+    hits = df.withColumn("m", probe("url_hash")).filter("m").count()
+    assert hits == 2000  # no false negatives through the broadcast UDF

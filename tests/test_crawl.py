@@ -1,0 +1,100 @@
+"""Fixpoint-loop invariants: determinism, filter-mode equivalence, resume.
+
+These are the engine-level analogues of the north rule's "crawl ordering and
+final URL-seen set must match the reference scheduler under the same seed
+list and politeness budget": same seeds + same budget -> identical final
+url_seen set and identical per-iteration schedule, regardless of which
+membership filter accelerates the gate and regardless of checkpoint/resume.
+"""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from hepcrawl_spark.crawl.frontier import CrawlConfig, run_crawl
+from hepcrawl_spark.sources.pages import synthesize_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = synthesize_corpus(spark, n_pages=600, n_hosts=8, links_per_page=3)
+    pages.persist()
+    pages.count()
+    return pages
+
+
+@pytest.fixture(scope="module")
+def seeds(corpus):
+    return corpus.orderBy("page_id").limit(10).select(
+        "url", "host", F.lit(1.0).alias("priority"),
+        F.col("warc_ts").alias("discovered_ts"),
+    )
+
+
+def _final_seen(spark, state_dir):
+    from hepcrawl_spark.crawl.frontier import read_manifest
+
+    m = read_manifest(state_dir)
+    return {
+        r["url"]
+        for r in spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/url_seen").collect()
+    }
+
+
+def test_fixpoint_progress_and_metrics(spark, corpus, seeds, tmp_path):
+    sd = str(tmp_path / "s1")
+    res = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=4, max_per_host=20, salt=1, filter_mode="none", state_dir=sd),
+    )
+    assert len(res.iterations) >= 2
+    assert res.total_fetched > 10
+    # monotone url_seen growth
+    seen_sizes = [i.seen_size for i in res.iterations]
+    assert seen_sizes == sorted(seen_sizes)
+    # metrics table written with per-partition rows
+    metrics = spark.read.parquet(f"{sd}/metrics")
+    assert metrics.count() > 0
+    assert metrics.filter("fetched < 0").count() == 0
+
+
+def test_filter_modes_equivalent(spark, corpus, seeds, tmp_path):
+    """bloom- and cuckoo-accelerated gates must not change the crawl result."""
+    seen = {}
+    scheds = {}
+    for mode in ("none", "bloom", "cuckoo"):
+        sd = str(tmp_path / f"m_{mode}")
+        res = run_crawl(
+            spark, corpus, seeds,
+            CrawlConfig(max_iterations=3, max_per_host=15, salt=1, filter_mode=mode, state_dir=sd),
+        )
+        seen[mode] = _final_seen(spark, sd)
+        scheds[mode] = [i.scheduled for i in res.iterations]
+    assert seen["none"] == seen["bloom"] == seen["cuckoo"]
+    assert scheds["none"] == scheds["bloom"] == scheds["cuckoo"]
+
+
+def test_resume_equals_straight_run(spark, corpus, seeds, tmp_path):
+    cfgkw = dict(max_per_host=15, salt=1, filter_mode="none")
+    sd_full = str(tmp_path / "full")
+    run_crawl(spark, corpus, seeds, CrawlConfig(max_iterations=4, state_dir=sd_full, **cfgkw))
+
+    sd_resume = str(tmp_path / "resume")
+    run_crawl(spark, corpus, seeds, CrawlConfig(max_iterations=2, state_dir=sd_resume, **cfgkw))
+    run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=4, state_dir=sd_resume, **cfgkw),
+        resume=True,
+    )
+    assert _final_seen(spark, sd_full) == _final_seen(spark, sd_resume)
+
+
+def test_determinism_same_seeds_same_result(spark, corpus, seeds, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for sd in (a, b):
+        run_crawl(
+            spark, corpus, seeds,
+            CrawlConfig(max_iterations=3, max_per_host=10, salt=2, filter_mode="none", state_dir=sd),
+        )
+    assert _final_seen(spark, a) == _final_seen(spark, b)

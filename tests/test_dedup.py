@@ -1,0 +1,96 @@
+import datetime
+
+import pyspark.sql.functions as F
+
+from hepcrawl_spark.operators import dedup as D
+
+TS = datetime.datetime
+
+
+def _frontier(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", TS(2024, 1, 2)),   # unseen -> keep
+            ("u2", TS(2024, 1, 2)),   # seen older -> keep (re-crawl)
+            ("u3", TS(2024, 1, 2)),   # seen newer -> drop
+            ("u4", TS(2024, 1, 2)),   # seen equal -> drop (new_ts must be >)
+        ],
+        "url string, warc_ts timestamp",
+    )
+
+
+def _seen(spark):
+    return spark.createDataFrame(
+        [
+            ("u2", TS(2024, 1, 1)),
+            ("u3", TS(2024, 1, 3)),
+            ("u4", TS(2024, 1, 2)),
+        ],
+        "url string, last_ts timestamp",
+    )
+
+
+def test_crawl_once_gate_semantics(spark):
+    out = D.crawl_once_gate(_frontier(spark), _seen(spark))
+    assert {r["url"] for r in out.collect()} == {"u1", "u2"}
+
+
+def test_crawl_once_gate_with_prefilter_matches_exact(spark):
+    from hepcrawl_spark.operators.bloom import build_bloom, might_contain_udf
+
+    fr, seen = _frontier(spark), _seen(spark)
+    bf = build_bloom(seen.select(F.xxhash64("url").alias("url_hash")), n_items=3)
+    probe = might_contain_udf(spark, bf)
+    out = D.crawl_once_gate(
+        fr.withColumn("_m", probe(F.xxhash64("url"))),
+        seen,
+        might_be_seen=F.col("_m"),
+    )
+    assert {r["url"] for r in out.collect()} == {"u1", "u2"}
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "A  b C"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}  # 1 and 2 normalize identically
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "x1 x2 x3 x4 x5")],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_minhash_lsh_superset_of_exact_dups(spark):
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "z1 z2 z3 z4 z5 z6")],
+        "doc_id long, text string",
+    )
+    cands = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands  # disjoint shingle sets never bucket together
+
+
+def test_simhash_identical_and_different(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_dedup_by_key_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k1", "b"), ("k1", "a"), ("k2", "z")], "k string, v string"
+    )
+    out = {(r["k"], r["v"]) for r in D.dedup_by_key(df, "k", "v").collect()}
+    assert out == {("k1", "a"), ("k2", "z")}

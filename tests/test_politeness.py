@@ -1,0 +1,75 @@
+import datetime
+
+import pyspark.sql.functions as F
+
+from hepcrawl_spark.operators import politeness as P
+
+TS = datetime.datetime
+
+
+def _frontier(spark, n_hosts=3, per_host=20):
+    rows = []
+    for h in range(n_hosts):
+        for i in range(per_host):
+            rows.append(
+                (
+                    f"https://h{h}.org/p/{i}",
+                    f"h{h}.org",
+                    float(i % 5),
+                    TS(2024, 1, 1, 0, i),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "url string, host string, priority double, discovered_ts timestamp"
+    )
+
+
+def test_wave_cap_exact(spark):
+    wave = P.select_wave(_frontier(spark), max_per_host=7, salt=1)
+    counts = {r["host"]: r["n"] for r in wave.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 7 for v in counts.values())
+
+
+def test_wave_cap_with_salt_not_exceeded(spark):
+    wave = P.select_wave(_frontier(spark), max_per_host=8, salt=2)
+    counts = [r["n"] for r in wave.groupBy("host").agg(F.count("*").alias("n")).collect()]
+    assert all(v <= 8 for v in counts)
+
+
+def test_wave_order_priority_then_fifo(spark):
+    wave = P.select_wave(_frontier(spark), max_per_host=3, salt=1)
+    h0 = sorted(
+        [(r["wave_rank"], r["priority"]) for r in wave.filter("host='h0.org'").collect()]
+    )
+    # top ranks must be the highest-priority rows
+    assert h0[0][1] >= h0[-1][1]
+
+
+def test_crawl_order_deterministic(spark):
+    fr = _frontier(spark)
+    a = [r["url"] for r in P.crawl_order(fr).orderBy("dispatch_order").collect()]
+    b = [r["url"] for r in P.crawl_order(fr).orderBy("dispatch_order").collect()]
+    assert a == b
+    # priority DESC first
+    first = P.crawl_order(fr).filter("dispatch_order = 1").collect()[0]
+    assert first["priority"] == 4.0
+
+
+def test_robots_gate_prefix(spark):
+    fr = _frontier(spark)
+    robots = spark.createDataFrame(
+        [("h0.org", "/p/1", "disallow")], "host string, path_prefix string, allow string"
+    )
+    out = P.robots_gate(fr, robots)
+    kept = [r["url"] for r in out.filter("host='h0.org'").collect()]
+    # /p/1, /p/10..19 are disallowed (prefix match), /p/0, /p/2..9 kept
+    assert all(not u.split("/p/")[1].startswith("1") for u in kept)
+    # other hosts untouched
+    assert out.filter("host='h1.org'").count() == 20
+
+
+def test_decay_priority(spark):
+    fr = _frontier(spark).withColumn("attempt", F.lit(0))
+    out = P.decay_priority(fr.filter("priority = 4.0"))
+    row = out.collect()[0]
+    assert row["priority"] == 2.0 and row["attempt"] == 1
