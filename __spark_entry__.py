@@ -1128,6 +1128,68 @@ def f5_arxiv_parse(spark, sf):
     ).orderBy("url")
 
 
+# -- F5b: JATS parse over synthetic article bodies (rows-only check) --------------------------------------------------------------------
+@_q("f5b_jats_parse")
+def f5b_jats_parse(spark, sf):
+    from hepcrawl_spark.parsers.jats import parse_jats_pages
+
+    docs = _docs(spark, sf).limit(50)
+    body = F.concat(
+        F.lit('<article article-type="research-article"><front><journal-meta>'
+              "<journal-title>NANO</journal-title>"
+              "<publisher><publisher-name>World Scientific Publishing Company</publisher-name></publisher>"
+              '</journal-meta><article-meta><article-id pub-id-type="doi">10.1142/T'),
+        F.col("doc_id").cast("string"),
+        F.lit('</article-id><title-group><article-title>Title '),
+        F.col("doc_id").cast("string"),
+        F.lit("</article-title></title-group><contrib-group>"
+              '<contrib contrib-type="author"><string-name><given-names>JOHN</given-names>'
+              "<surname>DOE</surname></string-name></contrib></contrib-group>"
+              '<pub-date pub-type="ppub"><year>2014</year><month>6</month><day>5</day></pub-date>'
+              "<volume>9</volume><issue>05</issue>"
+              "<abstract>A<sub>b</sub> c</abstract></article-meta></front></article>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://wsp.example.org/x/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    recs = parse_jats_pages(pages)
+    return recs.select(
+        "url", "title", "abstract", "journal_title", "year", "imprint_date",
+        F.element_at(F.col("authors.full_name"), 1).alias("first_author"),
+        F.element_at("dois", 1).alias("doi"),
+    ).orderBy("url")
+
+
+# -- F5c/S13: Desy JSONL parse with error-row preservation (rows-only) -------------------------------------------------------------------
+@_q("f5c_desy_parse")
+def f5c_desy_parse(spark, sf):
+    from hepcrawl_spark.parsers.desy import parse_desy_pages
+
+    docs = _docs(spark, sf).limit(50)
+    line = F.concat(
+        F.lit('{"titles": [{"source": "desy", "title": "T'),
+        F.col("doc_id").cast("string"),
+        F.lit('"}], "dois": [{"value": "10.1000/d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"}], "document_type": ["article"]}'),
+    )
+    # every 5th body gets a malformed second line -> error row preserved (E2)
+    body = F.concat(
+        line,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nnot json at all")).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://s3.example.org/d/"), F.col("doc_id").cast("string"), F.lit(".jsonl")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    recs = parse_desy_pages(pages)
+    return recs.select(
+        "url", "title", "error", "source_data",
+        F.element_at("dois", 1).alias("doi"),
+    ).orderBy("url", "title")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

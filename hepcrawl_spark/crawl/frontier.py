@@ -10,16 +10,22 @@ Catalyst query:
   3. crawl-once gate          (D1: bloom/cuckoo prefilter + exact anti-join)
   4. fetch                    (J5: equi-join wave vs pages on url)
   5. parse + outlink explode  (F5/UDTF: regexp link extraction, JVM-side)
-  6. state merge              (frontier', url_seen', metrics, records)
+  6. state merge              (frontier', url_seen', metrics)
   7. snapshot                 (parquet dir per iteration = Iceberg-snapshot
                                stand-in; manifest.json -> checkpoint/resume)
 
-Scale shape: the only shuffles per wave are (a) the politeness window on the
+Scale shape: the shuffles per wave are (a) the politeness window on the
 salted host key, (b) the fetch join on url (bucketable at 100 TB so it
-becomes a storage-partitioned join), (c) the url_seen merge (hash dedup).
-The bloom prefilter keeps (c)'s probe side small. Lineage is truncated every
-iteration by the snapshot write+read — mandatory in any DataFrame fixpoint
-or plans grow unboundedly.
+becomes a storage-partitioned join), (c) the url_seen merge (hash dedup;
+with Iceberg this is MERGE INTO on a bucket(url)-partitioned table and
+only delta buckets rewrite). The Bloom filter is built ONCE and updated
+incrementally with each wave's delta — per iteration only the newly
+fetched hashes ship their partial bitmaps to the driver, never the full
+url_seen history. Lineage is truncated every iteration by the snapshot
+write+read — mandatory in any DataFrame fixpoint or plans grow unboundedly.
+
+Driver-side work per iteration is O(#partitions + bitmap bytes); row data
+never leaves the executors except the tiny metrics rows.
 """
 
 from __future__ import annotations
@@ -33,7 +39,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bloom import build_bloom, might_contain_udf
+from ..operators import textstats as X
+from ..operators.bloom import BloomFilter, build_bloom, might_contain_udf
 from ..operators.cuckoo import build_cuckoo, cuckoo_might_contain_udf
 from ..operators.dedup import crawl_once_gate
 from ..operators.politeness import robots_gate, select_wave
@@ -45,9 +52,15 @@ class CrawlConfig:
     max_per_host: int = 100          # politeness cap per host per wave
     salt: int = 4                    # hot-host salting factor
     filter_mode: str = "bloom"       # 'bloom' | 'cuckoo' | 'none'
+    parse_mode: str = "stats"        # 'stats' (per-page feature extraction
+                                     # -> records snapshot) | 'none'
     bloom_fpp: float = 0.01
+    n_expected_urls: int = 1_000_000  # bloom sizing (total urls over the run)
     state_dir: str | None = None     # snapshots + manifest for resume
-    shuffle_partitions: int | None = None
+    keep_snapshots: int = 2          # older ones are vacuumed
+    detailed_stats: bool = False     # exact frontier/seen sizes per iteration
+                                     # (2 extra jobs/iteration; loop control
+                                     # only needs scheduled==0)
 
 
 @dataclass
@@ -56,7 +69,6 @@ class IterationStats:
     scheduled: int
     fetched: int
     parsed: int
-    new_urls: int
     frontier_size: int
     seen_size: int
     wall_s: float
@@ -133,22 +145,21 @@ def run_crawl(
     ``pages``: the corpus (url, warc_ts, html, text, lang[, host]).
     ``seeds``: initial frontier (url, host, priority, discovered_ts).
     Returns per-iteration stats; all state lives in config.state_dir when
-    set (making the run checkpoint-resumable), else in temp dirs.
+    set (making the run checkpoint-resumable), else in a temp dir.
     """
     cfg = config or CrawlConfig()
     state_dir = cfg.state_dir or f"/tmp/hepcrawl_spark_state_{os.getpid()}_{id(seeds)}"
     os.makedirs(state_dir, exist_ok=True)
 
     start_iter = 0
+    frontier = url_seen = None
     if resume:
         m = read_manifest(state_dir)
         if m is not None:
             start_iter = m["iteration"] + 1
             frontier = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/frontier")
             url_seen = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/url_seen")
-        else:
-            resume = False
-    if not resume:
+    if frontier is None:
         frontier = seeds.select(
             "url",
             "host",
@@ -160,65 +171,145 @@ def run_crawl(
         url_seen = spark.createDataFrame([], "url string, last_ts timestamp")
 
     # pages projected once; at 100 TB this scan is partition-pruned by the
-    # fetch join keys (bucket(url)) — here a cached projection.
+    # fetch join keys (bucket(url)).
     corpus = pages.select("url", "warc_ts", "text")
+
+    # --- membership filter state (built once, delta-updated) ----------------
+    bf: BloomFilter | None = None
+    if cfg.filter_mode == "bloom":
+        bf = BloomFilter.sized_for(cfg.n_expected_urls, cfg.bloom_fpp)
+        seen_now = url_seen if resume and start_iter > 0 else None
+        if seen_now is not None:
+            built = build_bloom(
+                seen_now.select(F.xxhash64("url").alias("url_hash")),
+                n_items=cfg.n_expected_urls,
+                fpp=cfg.bloom_fpp,
+            )
+            bf.merge(built)
+
+    def _metrics_and_bloom_delta(fetched: DataFrame):
+        """ONE pass over the fetched wave yields per-partition metrics AND
+        (bloom mode) the partial bitmaps for the filter's delta update —
+        instead of two separate jobs. Driver receives only
+        (partition_id, count, bitmap-bytes) rows."""
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        n_bits = bf.n_bits if bf is not None else 0
+        k = bf.k if bf is not None else 0
+        with_bloom = bf is not None
+
+        def per_partition(batches):
+            pid = TaskContext.get().partitionId()
+            local = BloomFilter(n_bits, k) if with_bloom else None
+            n = 0
+            for pdf in batches:
+                if len(pdf):
+                    n += len(pdf)
+                    if with_bloom:
+                        local.add(pdf.iloc[:, 0].to_numpy(dtype=np.int64))
+            if n:
+                yield pd.DataFrame(
+                    {
+                        "partition_id": [pid],
+                        "n": [n],
+                        "bits": [local.bits.tobytes() if with_bloom else b""],
+                    }
+                )
+
+        rows = (
+            fetched.select(F.xxhash64("url").alias("url_hash"))
+            .mapInPandas(per_partition, "partition_id int, n long, bits binary")
+            .collect()
+        )
+        if with_bloom:
+            import numpy as np
+
+            for r in rows:
+                bf.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+        return [(r["partition_id"], r["n"]) for r in rows]
 
     result = CrawlResult()
     metrics_rows = []
+    seen_size = 0
 
     for it in range(start_iter, cfg.max_iterations):
         t0 = time.monotonic()
-        frontier.persist()
-        frontier_size = frontier.count()
-        if frontier_size == 0:
-            frontier.unpersist()
-            break
 
         # 1-2. politeness + robots
         wave = select_wave(frontier, cfg.max_per_host, cfg.salt).drop("wave_rank")
         if robots is not None:
             wave = robots_gate(wave, robots)
 
-        # 3. crawl-once gate with membership prefilter
-        seen_size = url_seen.count()
-        if cfg.filter_mode == "bloom" and seen_size > 0:
-            bf = build_bloom(
-                url_seen.select(F.xxhash64("url").alias("url_hash")),
-                n_items=seen_size,
-                fpp=cfg.bloom_fpp,
-            )
+        # 3. crawl-once gate with membership prefilter. The probed wave is
+        # persisted: the gate's fresh/maybe split reads it twice, and without
+        # the cache the politeness window (a shuffle) would run twice.
+        use_filter = it > start_iter or (resume and start_iter > 0)
+        wave_probed = None
+        if cfg.filter_mode == "bloom" and use_filter:
             probe = might_contain_udf(spark, bf)
-            wave = wave.withColumn("_maybe_seen", probe(F.xxhash64("url")))
+            wave_probed = (
+                wave.withColumn("warc_ts", F.col("discovered_ts"))
+                .withColumn("_maybe", probe(F.xxhash64("url")))
+                .persist()
+            )
             gated = crawl_once_gate(
-                wave.withColumn("warc_ts", F.col("discovered_ts")),
-                url_seen,
-                might_be_seen=F.col("_maybe_seen"),
-            ).drop("_maybe_seen", "warc_ts")
-        elif cfg.filter_mode == "cuckoo" and seen_size > 0:
+                wave_probed, url_seen, might_be_seen=F.col("_maybe")
+            ).drop("_maybe", "warc_ts")
+        elif cfg.filter_mode == "cuckoo" and use_filter:
             cf = build_cuckoo(
-                url_seen.select(F.xxhash64("url").alias("url_hash")), n_items=seen_size
+                url_seen.select(F.xxhash64("url").alias("url_hash")),
+                n_items=max(seen_size, 64),
             )
             probe = cuckoo_might_contain_udf(spark, cf)
-            wave = wave.withColumn("_maybe_seen", probe(F.xxhash64("url")))
+            wave_probed = (
+                wave.withColumn("warc_ts", F.col("discovered_ts"))
+                .withColumn("_maybe", probe(F.xxhash64("url")))
+                .persist()
+            )
             gated = crawl_once_gate(
-                wave.withColumn("warc_ts", F.col("discovered_ts")),
-                url_seen,
-                might_be_seen=F.col("_maybe_seen"),
-            ).drop("_maybe_seen", "warc_ts")
+                wave_probed, url_seen, might_be_seen=F.col("_maybe")
+            ).drop("_maybe", "warc_ts")
         else:
             gated = crawl_once_gate(
                 wave.withColumn("warc_ts", F.col("discovered_ts")), url_seen
             ).drop("warc_ts")
 
-        gated.persist()
-        scheduled = gated.count()
+        gated = gated.persist()
 
         # 4. fetch join (J5)
-        fetched = gated.select("url").join(corpus, "url", "inner")
-        fetched.persist()
-        fetched_n = fetched.count()
+        fetched = gated.join(corpus, "url", "inner").persist()
 
-        # 5. parse: outlink explosion
+        # one action yields per-partition metrics (A2/north rule), the fetched
+        # count, and the bloom delta bitmaps — fused into a single pass
+        part_metrics = _metrics_and_bloom_delta(fetched)
+        fetched_n = sum(n for _, n in part_metrics)
+        scheduled = gated.count()
+        if scheduled == 0:
+            gated.unpersist()
+            fetched.unpersist()
+            if wave_probed is not None:
+                wave_probed.unpersist()
+            break
+        metrics_rows.extend(
+            (it, pid, scheduled, n, n, 0) for pid, n in part_metrics
+        )
+
+        # 5. parse: per-page feature extraction (the HEPRecord-emission role;
+        # on the synthetic corpus the record is the textstats feature row)
+        # + outlink explosion
+        it_dir = f"{state_dir}/iter_{it:04d}"
+        if cfg.parse_mode == "stats":
+            records = fetched.select(
+                "url",
+                X.token_count_ws("text").alias("n_tokens"),
+                X.token_count_bpe_ish("text").alias("n_pieces"),
+                F.round(X.english_score("text"), 4).alias("en_score"),
+                X.fingerprint("text").alias("fingerprint"),
+            )
+            records.write.mode("overwrite").parquet(f"{it_dir}/records")
+
         links = extract_outlinks(fetched)
         new_frontier_rows = (
             links.groupBy("url", "host")
@@ -228,14 +319,17 @@ def run_crawl(
         )
 
         # 6. state merge
-        new_seen = url_seen.unionByName(
-            fetched.select("url", F.col("warc_ts").alias("last_ts"))
-        ).groupBy("url").agg(F.max("last_ts").alias("last_ts"))
-
-        remaining = frontier.join(gated.select("url"), "url", "left_anti")
-        # drop attempted-but-unfetchable urls (not in corpus) instead of
-        # retrying forever: anti-join wave too
-        remaining = remaining.join(wave.select("url"), "url", "left_anti")
+        new_seen = (
+            url_seen.unionByName(
+                fetched.select("url", F.col("warc_ts").alias("last_ts"))
+            )
+            .groupBy("url")
+            .agg(F.max("last_ts").alias("last_ts"))
+        )
+        # anti-join against the cached probed wave when available (same url
+        # set as `wave`) — avoids re-running the politeness window shuffle
+        wave_urls = (wave_probed if wave_probed is not None else wave).select("url")
+        remaining = frontier.join(wave_urls, "url", "left_anti")
         candidates = new_frontier_rows.join(new_seen, "url", "left_anti").join(
             remaining.select("url"), "url", "left_anti"
         )
@@ -243,26 +337,15 @@ def run_crawl(
             candidates.select("url", "host", "priority", "discovered_ts", "attempt")
         )
 
-        # 7. snapshot (atomic-ish: data first, manifest last)
-        it_dir = f"{state_dir}/iter_{it:04d}"
+        # 7. snapshot (data first, manifest last = atomic commit)
         next_frontier = _snapshot(next_frontier, f"{it_dir}/frontier")
         new_seen = _snapshot(new_seen, f"{it_dir}/url_seen")
-
-        new_frontier_size = next_frontier.count()
-        new_seen_size = new_seen.count()
-        new_urls = candidates.count()
-
-        # per-partition lineage/metrics (A2 / north rule)
-        part_metrics = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("fetched"))
-            .withColumn("iteration", F.lit(it))
-            .collect()
-        )
-        metrics_rows.extend(
-            (it, r["partition_id"], scheduled, r["fetched"], r["fetched"], 0)
-            for r in part_metrics
-        )
+        if cfg.detailed_stats:
+            new_frontier_size = next_frontier.count()
+            seen_size = new_seen.count()
+        else:
+            new_frontier_size = -1
+            seen_size += fetched_n  # upper bound (exact when urls are unique)
 
         _write_manifest(
             state_dir,
@@ -270,14 +353,14 @@ def run_crawl(
             {"frontier": f"{it_dir}/frontier", "url_seen": f"{it_dir}/url_seen"},
         )
 
-        frontier.unpersist()
         gated.unpersist()
         fetched.unpersist()
+        if wave_probed is not None:
+            wave_probed.unpersist()
         frontier, url_seen = next_frontier, new_seen
 
-        # previous iteration's snapshot can be vacuumed (keep last 2)
-        old = f"{state_dir}/iter_{it - 2:04d}"
-        if it >= 2 and os.path.exists(old):
+        old = f"{state_dir}/iter_{it - cfg.keep_snapshots:04d}"
+        if it >= cfg.keep_snapshots and os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
         result.iterations.append(
@@ -286,13 +369,12 @@ def run_crawl(
                 scheduled=scheduled,
                 fetched=fetched_n,
                 parsed=fetched_n,
-                new_urls=new_urls,
                 frontier_size=new_frontier_size,
-                seen_size=new_seen_size,
+                seen_size=seen_size,
                 wall_s=time.monotonic() - t0,
             )
         )
-        if new_frontier_size == 0:
+        if new_frontier_size == 0:  # only hit with detailed_stats
             break
 
     if metrics_rows:

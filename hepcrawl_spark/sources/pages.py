@@ -143,6 +143,7 @@ def synthesize_corpus(
     links_per_page: int = 4,
     skew_host_share: int = 4,
     partitions: int | None = None,
+    body_padding: int = 0,
 ) -> DataFrame:
     """Deterministic synthetic pages with embedded outlinks.
 
@@ -181,11 +182,17 @@ def synthesize_corpus(
             )
         )
 
+    pad = (
+        [F.repeat(F.concat(F.lit("w"), F.pmod(pid, F.lit(97)).cast("string"), F.lit(" ")), body_padding)]
+        if body_padding
+        else []
+    )
     html = F.concat(
         F.lit("<html><body><h1>page "),
         pid.cast("string"),
         F.lit("</h1>"),
         *link_cols,
+        *pad,
         F.lit("</body></html>"),
     )
 

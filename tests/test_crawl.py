@@ -46,7 +46,8 @@ def test_fixpoint_progress_and_metrics(spark, corpus, seeds, tmp_path):
     sd = str(tmp_path / "s1")
     res = run_crawl(
         spark, corpus, seeds,
-        CrawlConfig(max_iterations=4, max_per_host=20, salt=1, filter_mode="none", state_dir=sd),
+        CrawlConfig(max_iterations=4, max_per_host=20, salt=1, filter_mode="none",
+                    state_dir=sd, detailed_stats=True),
     )
     assert len(res.iterations) >= 2
     assert res.total_fetched > 10
