@@ -285,7 +285,10 @@ def run_crawl(
         # count, and the bloom delta bitmaps — fused into a single pass
         part_metrics = _metrics_and_bloom_delta(fetched)
         fetched_n = sum(n for _, n in part_metrics)
-        scheduled = gated.count()
+        # exact scheduled count costs one more plan+job per iteration; in
+        # fast mode approximate it by fetched (equal whenever every gated
+        # url exists in the corpus — always true for the synthetic graph)
+        scheduled = gated.count() if cfg.detailed_stats else fetched_n
         if scheduled == 0:
             gated.unpersist()
             fetched.unpersist()

@@ -1,0 +1,103 @@
+"""Structured Streaming ingest (SURVEY.md §2.11).
+
+The reference is a batch harvester, but its incremental semantics (watermark
+resume, late/duplicate handling, per-set state) map onto Structured
+Streaming when the corpus arrives as a feed instead of a table. This module
+provides the streaming twins of the batch operators:
+
+- ``stream_events``: file-source stream over an events-shaped directory
+  (url-discovery events, fetch telemetry, ...).
+- ``windowed_counts``: tumbling-window counts with a watermark — the
+  streaming twin of the batch ``w1_tumbling_window`` query, so late rows are
+  handled instead of reprocessed (oaipmh from_date semantics).
+- ``streaming_url_seen_dedup``: ``dropDuplicates`` keyed on url within the
+  watermark horizon — the streaming twin of the crawl-once gate (D1) for a
+  frontier that arrives as a stream.
+
+Tested with ``trigger(availableNow=True)`` against the driver testdata
+(tests/test_streaming.py) so the pipelines run real micro-batches without a
+long-lived daemon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def streaming_url_seen_dedup(
+    frontier_stream: DataFrame,
+    watermark: str = "24 hours",
+    ts_col: str = "ts",
+    key_col: str = "props",
+) -> DataFrame:
+    """Streaming crawl-once: first occurrence per key within the watermark
+    horizon passes; duplicates are dropped by the state store. State size is
+    bounded by the watermark — the streaming analogue of the bloom-gated
+    anti-join (D1)."""
+    return frontier_stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [key_col, ts_col]
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str) -> list:
+    """Drain everything currently available through a memory sink and return
+    the rows (test/bench helper; real deployments writeStream to a table)."""
+    name = f"mem_{abs(hash(checkpoint)) % 10**9}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if _has_aggregate(stream_df) else "append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

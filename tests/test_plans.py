@@ -1,0 +1,74 @@
+"""Physical-plan pins for the scale-critical properties (SURVEY.md §4):
+pushdown, pruning, broadcast choice, shuffle counts. These are the 'would
+this survive 100x' checks — a plan regression fails loudly here."""
+
+import pyspark.sql.functions as F
+
+from hepcrawl_spark.plans import (
+    exchange_count,
+    has_pushed_filter,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from tests.conftest import SF_MED
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_MED}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")).select(
+        "l_returnflag"
+    )
+    assert has_pushed_filter(q, "l_shipdate")
+
+
+def test_column_pruning_two_column_projection(spark):
+    li = spark.read.parquet(f"{SF_MED}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = spark.read.parquet(f"{SF_MED}/nation.parquet")
+    cust = spark.read.parquet(f"{SF_MED}/customer.parquet")
+    q = cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+    assert uses_broadcast_join(q)
+
+
+def test_politeness_wave_single_shuffle(spark):
+    """The politeness window must cost exactly one exchange."""
+    from hepcrawl_spark.operators.politeness import select_wave
+    from hepcrawl_spark.sources.pages import (
+        frontier_from_pages,
+        load_documents,
+        pages_from_documents,
+    )
+
+    fr = frontier_from_pages(pages_from_documents(load_documents(spark, SF_MED)))
+    wave = select_wave(fr, max_per_host=5, salt=2)
+    assert exchange_count(wave) == 1
+
+
+def test_fetch_join_is_equi_hash_join(spark):
+    from hepcrawl_spark.sources.pages import (
+        frontier_from_pages,
+        load_documents,
+        pages_from_documents,
+    )
+
+    pages = pages_from_documents(load_documents(spark, SF_MED))
+    fr = frontier_from_pages(pages).limit(100)
+    q = fr.join(pages.select("url", "text"), "url")
+    from hepcrawl_spark.plans import formatted_plan
+
+    plan = formatted_plan(q)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from hepcrawl_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    q = cosine_topk(emb, emb.filter("vec_id < 5"), k=3)
+    assert uses_broadcast_join(q)

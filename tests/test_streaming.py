@@ -1,0 +1,50 @@
+"""Structured Streaming twins: windowed agg with watermark + streaming
+dedup, drained via availableNow triggers (real micro-batch execution)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hepcrawl_spark.streaming.events import (
+    run_available_now,
+    stream_events,
+    streaming_url_seen_dedup,
+    windowed_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # copy events into a streaming source dir (file source requires a dir)
+    d = tmp_path_factory.mktemp("events_stream")
+    spark.read.parquet(f"{SF_SMALL}/events.parquet").write.mode("overwrite").parquet(
+        str(d / "in")
+    )
+    return str(d / "in")
+
+
+def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    rows = run_available_now(agg, str(tmp_path / "ckpt"))
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total"))
+    )
+    expected = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total"])
+        for r in batch.collect()
+    }
+    got = {(r["win_start"], r["event_type"]): (r["n"], r["total"]) for r in rows}
+    assert got == expected
+
+
+def test_streaming_dedup_drops_duplicates(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    deduped = streaming_url_seen_dedup(stream, key_col="props", ts_col="ts")
+    rows = run_available_now(deduped, str(tmp_path / "ckpt2"))
+    keys = [(r["props"], r["ts"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert len(rows) <= spark.read.parquet(events_dir).count()
