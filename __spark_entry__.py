@@ -1190,6 +1190,134 @@ def f5c_desy_parse(spark, sf):
     ).orderBy("url", "title")
 
 
+# -- F5d: Crossref JSON parse (rows-only) ------------------------------------------------------------------------------------------------
+@_q("f5d_crossref_parse")
+def f5d_crossref_parse(spark, sf):
+    from hepcrawl_spark.parsers.crossref import parse_crossref_pages
+
+    docs = _docs(spark, sf).limit(50)
+    body = F.concat(
+        F.lit('{"message": {"DOI": "10.1103/x'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "type": "journal-article", "title": ["T'),
+        F.col("doc_id").cast("string"),
+        F.lit('"], "volume": "9", "issue": "2", "page": "100-110",'
+              ' "publisher": "P", "container-title": ["J"],'
+              ' "issued": {"date-parts": [[2015, 11, 2]]},'
+              ' "author": [{"family": "Doe", "given": "J"}]}}'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://api.crossref.org/works/10.1103/x"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    recs = parse_crossref_pages(pages)
+    return recs.select(
+        "url", "doi", "title", "document_type", "journal_title", "year",
+        "imprint_date", "page_start", "page_end",
+        F.element_at(F.col("authors.full_name"), 1).alias("first_author"),
+    ).orderBy("url")
+
+
+# -- F5e: MARCXML parse (rows-only) -------------------------------------------------------------------------------------------------------
+@_q("f5e_marcxml_parse")
+def f5e_marcxml_parse(spark, sf):
+    from hepcrawl_spark.parsers.marcxml import parse_marcxml_pages
+
+    docs = _docs(spark, sf).limit(50)
+    body = F.concat(
+        F.lit('<record><datafield tag="024" ind1="7" ind2=" ">'
+              '<subfield code="a">10.1155/m'),
+        F.col("doc_id").cast("string"),
+        F.lit('</subfield><subfield code="2">DOI</subfield></datafield>'
+              '<datafield tag="100"><subfield code="a">Doe, Jane</subfield>'
+              '<subfield code="u">Inst A</subfield></datafield>'
+              '<datafield tag="245"><subfield code="a">Title '),
+        F.col("doc_id").cast("string"),
+        F.lit('</subfield></datafield>'
+              '<datafield tag="260"><subfield code="b">Pub</subfield>'
+              '<subfield code="c">2010-01-26</subfield></datafield>'
+              '<datafield tag="773"><subfield code="p">J</subfield>'
+              '<subfield code="y">2010</subfield></datafield></record>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://oai.example.org/m/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    recs = parse_marcxml_pages(pages)
+    return recs.select(
+        "url", "title", "date_published", "journal_title", "journal_year",
+        F.element_at("dois", 1).alias("doi"),
+        F.element_at(F.col("authors.full_name"), 1).alias("first_author"),
+    ).orderBy("url")
+
+
+# -- F5f: APS JSON parse (rows-only) ------------------------------------------------------------------------------------------------------
+@_q("f5f_aps_parse")
+def f5f_aps_parse(spark, sf):
+    from hepcrawl_spark.parsers.aps import parse_aps_pages
+
+    docs = _docs(spark, sf).limit(50)
+    body = F.concat(
+        F.lit('{"data": [{"identifiers": {"doi": "10.1103/a'),
+        F.col("doc_id").cast("string"),
+        F.lit('"}, "title": {"value": "<p>T'),
+        F.col("doc_id").cast("string"),
+        F.lit('</p>"}, "abstract": {"value": "A"}, "date": "2015-11-02",'
+              ' "numPages": 11, "journal": {"abbreviatedName": "PRX"},'
+              ' "volume": {"number": "7"}, "issue": {"number": "2"},'
+              ' "rights": {"copyrightYear": 2015, "licenses": [{"url": "u"}],'
+              ' "copyrightHolders": [{"name": "H"}]},'
+              ' "affiliations": [{"id": "a1", "name": "Inst"}],'
+              ' "authors": [{"type": "Person", "name": "J Doe",'
+              ' "surname": "Doe", "firstname": "J", "affiliationIds": ["a1"]},'
+              ' {"type": "Collaboration", "name": "OSQAR"}]}]}'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://api.aps.org/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    recs = parse_aps_pages(pages)
+    return recs.select(
+        "url", "doi", "title", "page_nr", "journal_title", "journal_year",
+        F.element_at("collaborations", 1).alias("collab"),
+        F.element_at(F.element_at("authors", 1)["affiliations"], 1).alias("first_aff"),
+    ).orderBy("url")
+
+
+# -- F5g: NLM parse with pub-status gate (rows-only) --------------------------------------------------------------------------------------
+@_q("f5g_nlm_parse")
+def f5g_nlm_parse(spark, sf):
+    from hepcrawl_spark.parsers.nlm import parse_nlm_pages
+
+    docs = _docs(spark, sf).limit(60)
+    status = F.when(F.col("doc_id") % 4 == 0, F.lit("aheadofprint")).otherwise(
+        F.lit("ppublish")
+    )
+    body = F.concat(
+        F.lit("<Article><Journal><JournalTitle>JT</JournalTitle>"
+              "<Volume>143</Volume><Issue>3</Issue><PubDate PubStatus=\""),
+        status,
+        F.lit('"><Year>2015</Year><Month>03</Month></PubDate></Journal>'
+              "<ArticleTitle>T"),
+        F.col("doc_id").cast("string"),
+        F.lit("</ArticleTitle><FirstPage>336</FirstPage><LastPage>343</LastPage>"
+              '<ArticleIdList><ArticleId IdType="doi">10.1309/n'),
+        F.col("doc_id").cast("string"),
+        F.lit("</ArticleId></ArticleIdList><AuthorList><Author>"
+              "<FirstName>R</FirstName><LastName>Roth</LastName>"
+              "</Author></AuthorList></Article>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://iop.example.org/n/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    recs = parse_nlm_pages(pages)  # every 4th is aheadofprint -> dropped (F3)
+    return recs.select(
+        "url", "title", "date_published", "page_nr", "journal_year",
+        F.element_at("dois", 1).alias("doi"),
+    ).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -155,6 +155,25 @@ def page_nr_from_range(fpage: Column | str, lpage: Column | str) -> Column:
 # Pure-Python helpers (parse-UDF internals and tests)
 # ---------------------------------------------------------------------------
 
+MATHML_ELEMENTS = {
+    "annotation", "annotation-xml", "maction", "math", "merror", "mfenced",
+    "mfrac", "mi", "mmultiscripts", "mn", "mo", "mover", "mpadded",
+    "mphantom", "mprescripts", "mroot", "mrow", "mspace", "msqrt", "mstyle",
+    "msub", "msubsup", "msup", "mtable", "mtd", "mtext", "mtr", "munder",
+    "munderover", "none", "semantics",
+}
+
+_TAG_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>")
+
+
+def strip_tags_keep_mathml_py(text: str) -> str:
+    """C6 (inputs.py:39-43, mappings.py:73-80): drop markup tags except the
+    MathML element set; text content is kept either way."""
+    def repl(m: re.Match) -> str:
+        return m.group(0) if m.group(1).lower() in MATHML_ELEMENTS else ""
+    return _TAG_RE.sub(repl, text).strip()
+
+
 def collapse_whitespace_py(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 

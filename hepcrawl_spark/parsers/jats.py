@@ -188,6 +188,27 @@ class PartialDate:
         return self._key() == other._key()
 
 
+_MONTH_NAMES = {
+    name: i
+    for i, names in enumerate(
+        [("january", "jan"), ("february", "feb"), ("march", "mar"),
+         ("april", "apr"), ("may",), ("june", "jun"), ("july", "jul"),
+         ("august", "aug"), ("september", "sep", "sept"), ("october", "oct"),
+         ("november", "nov"), ("december", "dec")],
+        start=1,
+    )
+    for name in names
+}
+
+
+def _part_int(p: str) -> int:
+    """Numeric or month-name date part ('July' -> 7, APS fixtures)."""
+    p = p.strip()
+    if p.lower() in _MONTH_NAMES:
+        return _MONTH_NAMES[p.lower()]
+    return int(p)
+
+
 def _get_date(node: ET.Element) -> PartialDate | None:
     """jats.py:449-474 waterfall: iso attr, (y,m,d) parts, (y,m), (y)."""
     iso = node.get("iso-8601-date", "")
@@ -203,7 +224,7 @@ def _get_date(node: ET.Element) -> PartialDate | None:
     day = _string(node.find("day")).strip()
     for parts in ((year, month, day), (year, month), (year,)):
         try:
-            ints = [int(p) for p in parts if p != ""]
+            ints = [_part_int(p) for p in parts if p != ""]
             if len(ints) == len(parts):
                 return PartialDate(*ints)
         except (ValueError, TypeError):
@@ -332,9 +353,13 @@ def parse_jats_article(article: ET.Element, url: str | None = None) -> dict:
     conference = front.find(".//conference")
     document_type = "conference paper" if conference is not None else "article"
 
-    jt = front.find(".//abbrev-journal-title")
-    if jt is None:
-        jt = front.find(".//journal-title")
+    # XPath union semantics (jats.py:206-210): first of journal-title /
+    # abbrev-journal-title in DOCUMENT order
+    jt = next(
+        (el for el in front.iter()
+         if el.tag in ("abbrev-journal-title", "journal-title")),
+        None,
+    )
     journal_title = _text(jt)
     if journal_title == "Physics":
         journal_title = "APS Physics"

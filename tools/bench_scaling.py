@@ -73,10 +73,19 @@ def main():
     n_lo = int(os.environ.get("SCALE_N_LO", "2"))
     n_hi = int(os.environ.get("SCALE_N_HI", "8"))
 
+    # two alternating trials per level, best-of — this host carries external
+    # load spikes; a single-shot comparison confounds engine scaling with
+    # whoever else is on the box
+    trials = int(os.environ.get("SCALE_TRIALS", "2"))
     results = {}
-    for cpus in (n_lo, n_hi):
-        results[cpus] = run_level(cpus, n_pages, iters)
-        print(json.dumps(results[cpus]))
+    all_runs = []
+    for t in range(trials):
+        for cpus in (n_lo, n_hi):
+            r = run_level(cpus, n_pages, iters)
+            all_runs.append(r)
+            print(json.dumps(r))
+            if cpus not in results or r["urls_per_sec"] > results[cpus]["urls_per_sec"]:
+                results[cpus] = r
 
     t8, t32 = results[n_lo]["urls_per_sec"], results[n_hi]["urls_per_sec"]
     eff = (t32 / t8) / (n_hi / n_lo)
