@@ -1318,6 +1318,44 @@ def f5g_nlm_parse(spark, sf):
     ).orderBy("url")
 
 
+# -- F5h: Elsevier CONSYN parse (rows-only) -----------------------------------------------------------------------------------------------
+@_q("f5h_elsevier_parse")
+def f5h_elsevier_parse(spark, sf):
+    from hepcrawl_spark.parsers.elsevier import parse_elsevier_pages
+
+    docs = _docs(spark, sf).limit(50)
+    body = F.concat(
+        F.lit('<doc><RDF><Description><doi>10.1016/e'),
+        F.col("doc_id").cast("string"),
+        F.lit("</doi><publicationName>Nucl. Phys. B</publicationName>"
+              "<volume>958</volume><startingPage>1</startingPage>"
+              "<endingPage>9</endingPage><publisher>Elsevier B.V.</publisher>"
+              "<coverDisplayDate>1 April 2020</coverDisplayDate>"
+              "<licenseLine>CC BY 4.0</licenseLine></Description></RDF>"
+              '<article docsubtype="fla"><item-info><aid>'),
+        F.col("doc_id").cast("string"),
+        F.lit('</aid><copyright type="full-transfer" year="2020">(c) Elsevier</copyright>'
+              "</item-info><head><title>ET "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><author-group><author><given-name>J</given-name>"
+              "<surname>Doe</surname></author><affiliation>"
+              "<textfn>Inst X</textfn></affiliation></author-group>"
+              "<abstract><abstract-sec><simple-para>A<sub>b</sub></simple-para>"
+              "</abstract-sec></abstract></head></article></doc>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://consyn.elsevier.com/e/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    recs = parse_elsevier_pages(pages)
+    return recs.select(
+        "url", "title", "abstract", "article_type", "journal_title",
+        "publication_date", "year", "page_start", "page_end",
+        F.element_at("dois", 1).alias("doi"),
+        F.element_at(F.col("authors.full_name"), 1).alias("first_author"),
+    ).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -178,6 +178,14 @@ def collapse_whitespace_py(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def dot_single_initials_py(given: str) -> str:
+    """normalize_name detail the fixtures pin: a standalone single capital
+    gets a period ('T' -> 'T.'), but letters inside dotted compounds are
+    left alone ('V.V' stays 'V.V')."""
+    # \w is unicode-aware: 'S' in 'Sándor' must not match
+    return re.sub(r"(?<![\w.])([A-Z])(?![\w.])", r"\1.", given)
+
+
 def collapse_initials_py(name: str) -> str:
     if len(name.split(".")) > 1:
         name = re.sub(r"([A-Z]\.)[\s\-]+(?=[A-Z]\.)", r"\1", name)

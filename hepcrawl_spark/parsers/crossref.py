@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.text import collapse_initials_py
+from ..functions.text import collapse_initials_py, dot_single_initials_py
 
 # public crossref type taxonomy -> inspire document types
 DOC_TYPE_MAP = {
@@ -109,9 +109,7 @@ def parse_crossref_record(payload: dict, url: str | None = None) -> dict:
     for a in msg.get("author") or []:
         given = a.get("given")
         if given:
-            # bare single-letter initials get a period ('T' -> 'T.'), the
-            # normalize_name behavior the fixtures pin
-            given = re.sub(r"\b([A-Z])\b(?!\.)", r"\1.", given)
+            given = dot_single_initials_py(given)
         name = ", ".join(filter(None, [a.get("family"), given]))
         affs = [x.get("name") for x in a.get("affiliation") or [] if x.get("name")]
         authors.append(

@@ -89,7 +89,9 @@ def _strip_ns(root: ET.Element) -> None:
 def _serialize_subtree(el: ET.Element) -> str:
     c = deepcopy(el)
     c.tail = None
-    return ET.tostring(c, encoding="unicode")
+    # lxml writes self-closing tags as <x/>; ElementTree as <x /> — the
+    # byte-identical-text oracle pins the lxml form
+    return ET.tostring(c, encoding="unicode").replace(" />", "/>")
 
 
 def remove_tags(
