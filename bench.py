@@ -83,6 +83,11 @@ def main() -> None:
     extras["crawl_urls_scheduled"] = res.total_scheduled
     extras["crawl_pages_fetched"] = res.total_fetched
     extras["crawl_iterations"] = len(res.iterations)
+    steady = [i for i in res.iterations if i.iteration >= 1]
+    if steady:
+        s_urls = sum(i.scheduled + i.fetched for i in steady)
+        s_wall = sum(i.wall_s for i in steady)
+        extras["frontier_urls_per_sec_steady"] = round(s_urls / s_wall, 1)
 
     # -- scale-relevant operator pipelines -----------------------------------
     docs_big = corpus.select(
