@@ -71,6 +71,7 @@ JATS_RECORD = StructType(
         StructField("copyright_year", IntegerType()),
         StructField("imprint_date", StringType()),
         StructField("publisher", StringType()),
+        StructField("n_references", IntegerType()),
         StructField("error", StringType()),
     ]
 )
@@ -251,6 +252,123 @@ def _pub_date_nodes(front: ET.Element, online_ok: bool = True):
         if node.get("date-type", "").startswith("pub") and (online_ok or not_online):
             out.append(node)
     return out
+
+
+JATS_REFERENCE = StructType(
+    [
+        StructField("label", StringType()),
+        StructField("title", StringType()),
+        StructField("authors", ArrayType(StringType())),
+        StructField("editors", ArrayType(StringType())),
+        StructField("journal_title", StringType()),
+        StructField("parent_title", StringType()),
+        StructField("publisher", StringType()),
+        StructField("journal_volume", StringType()),
+        StructField("journal_issue", StringType()),
+        StructField("year", IntegerType()),
+        StructField("page_start", StringType()),
+        StructField("page_end", StringType()),
+        StructField("artid", StringType()),
+        StructField("dois", ArrayType(StringType())),
+        StructField("arxiv_ids", ArrayType(StringType())),
+        StructField("raw_ref", StringType()),
+    ]
+)
+
+
+def _ref_person_names(citation: ET.Element, role: str) -> list[str]:
+    """person-group string-names -> inspire 'Surname, I.N.' form."""
+    out = []
+    for pg in citation.findall("person-group"):
+        if pg.get("person-group-type") != role:
+            continue
+        for sn in pg.findall("string-name"):
+            name = (sn.text or "").strip()
+            if not name:
+                continue
+            toks = name.split()
+            # surname absorbs preceding particles ('M. Van Raamsdonk'
+            # -> 'Van Raamsdonk, M.'), the inspire normalize_name behavior
+            i = len(toks) - 1
+            while i > 0 and toks[i - 1].lower() in _NAME_PARTICLES:
+                i -= 1
+            surname = " ".join(toks[i:])
+            # collapse spaces between initials but KEEP hyphens
+            # ('H.-S.' stays; 'H. S.' -> 'H.S.')
+            given = re.sub(r"([A-Z]\.)\s+(?=[A-Z]\.)", r"\1", " ".join(toks[:i]))
+            out.append(f"{surname}, {given}".rstrip(", ") if given else surname)
+    return out
+
+
+def extract_references(article: ET.Element) -> list[dict]:
+    """back/ref-list/ref -> structured reference rows (jats.py:554-636
+    semantics; label strips '[].', page-range splits into start/end with the
+    single-page value doubling as artid, source routes to journal vs parent
+    title by publication-type)."""
+    refs = []
+    back = article.find("back")
+    if back is None:
+        return refs
+    for ref in back.iter("ref"):
+        label_el = ref.find("label")
+        label = (label_el.text or "").strip("[].") if label_el is not None else None
+        for citation in ref.findall("mixed-citation"):
+            pub_type = citation.get("publication-type", "")
+            src = citation.find("source")
+            journal_title = parent_title = None
+            if src is not None:
+                if pub_type in ("journal", "eprint"):
+                    journal_title = _string(src)
+                elif pub_type == "book":
+                    parent_title = _string(src)
+            dois, arxiv_ids = [], []
+            for pid in citation.findall("pub-id"):
+                if pid.get("pub-id-type") == "doi" and pid.text:
+                    dois.append(pid.text)
+                elif pid.get("pub-id-type") == "arxiv" and pid.text:
+                    arxiv_ids.append(pid.text)
+            year_el = citation.find("year")
+            year_t = (year_el.text or "").strip() if year_el is not None else ""
+            page_range = citation.find("page-range")
+            page_start = page_end = artid = None
+            if page_range is not None and page_range.text:
+                pr = page_range.text.strip()
+                if "-" in pr:
+                    page_start, page_end = pr.split("-", 1)[0], pr.split("-", 1)[1]
+                else:
+                    page_start = artid = pr
+            title_el = citation.find("article-title")
+            # reference behavior pinned by fixtures: extract_first('text()')
+            # takes only the FIRST direct text node — titles with inline
+            # markup truncate, and a leading <math> child means the first
+            # text node is its tail
+            title = None
+            if title_el is not None:
+                for cand in [title_el.text] + [c.tail for c in title_el]:
+                    if cand:
+                        title = cand
+                        break
+            refs.append(
+                {
+                    "label": label,
+                    "title": title or None,
+                    "authors": _ref_person_names(citation, "author"),
+                    "editors": _ref_person_names(citation, "editor"),
+                    "journal_title": journal_title,
+                    "parent_title": parent_title,
+                    "publisher": _string(citation.find("publisher-name")) or None,
+                    "journal_volume": _text(citation.find("volume")),
+                    "journal_issue": _text(citation.find("issue")),
+                    "year": int(year_t) if year_t.isdigit() else None,
+                    "page_start": page_start,
+                    "page_end": page_end,
+                    "artid": artid,
+                    "dois": dois,
+                    "arxiv_ids": arxiv_ids,
+                    "raw_ref": _serialize_subtree(ref).strip(),
+                }
+            )
+    return refs
 
 
 def parse_jats_article(article: ET.Element, url: str | None = None) -> dict:
@@ -448,6 +566,7 @@ def parse_jats_article(article: ET.Element, url: str | None = None) -> dict:
         "copyright_year": cp_year,
         "imprint_date": imprint,
         "publisher": publisher,
+        "n_references": len(extract_references(article)),
         "error": None,
     }
 
@@ -503,5 +622,50 @@ def parse_jats_pages(pages: DataFrame) -> DataFrame:
     return (
         pages.select(parse_jats_udf("url", "html").alias("recs"))
         .select(F.explode("recs").alias("r"))
+        .select("r.*")
+    )
+
+
+_JATS_REF_ROW = StructType(
+    [StructField("url", StringType()), StructField("record_doi", StringType())]
+    + JATS_REFERENCE.fields
+)
+
+
+def parse_jats_references_body(body: bytes | str, url: str | None = None) -> list[dict]:
+    """One body -> exploded structured reference rows (each tagged with the
+    citing record's first DOI)."""
+    try:
+        if isinstance(body, (bytes, bytearray)):
+            body = body.decode("utf-8")
+        body = re.sub(r"<!DOCTYPE[^>]*>", "", body)
+        root = ET.fromstring(body)
+        _strip_ns(root)
+        articles = [root] if root.tag == "article" else root.findall(".//article")
+        out = []
+        for art in articles:
+            doi_el = art.find('.//article-id[@pub-id-type="doi"]')
+            doi = doi_el.text if doi_el is not None else None
+            for ref in extract_references(art):
+                out.append({"url": url, "record_doi": doi, **ref})
+        return out
+    except Exception:
+        return []
+
+
+@pandas_udf(ArrayType(_JATS_REF_ROW))
+def parse_jats_references_udf(urls: pd.Series, bodies: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            parse_jats_references_body(b, u) if b is not None else []
+            for u, b in zip(urls, bodies)
+        ]
+    )
+
+
+def parse_jats_references_pages(pages: DataFrame) -> DataFrame:
+    return (
+        pages.select(parse_jats_references_udf("url", "html").alias("refs"))
+        .select(F.explode("refs").alias("r"))
         .select("r.*")
     )
