@@ -182,8 +182,9 @@ def dot_single_initials_py(given: str) -> str:
     """normalize_name detail the fixtures pin: a standalone single capital
     gets a period ('T' -> 'T.'), but letters inside dotted compounds are
     left alone ('V.V' stays 'V.V')."""
-    # \w is unicode-aware: 'S' in 'Sándor' must not match
-    return re.sub(r"(?<![\w.])([A-Z])(?![\w.])", r"\1.", given)
+    # \w is unicode-aware: 'S' in 'Sándor' must not match; an apostrophe
+    # adjacent to the capital blocks too ("O'C" stays, both letters)
+    return re.sub(r"(?<![\w.'])([A-Z])(?![\w.'])", r"\1.", given)
 
 
 def collapse_initials_py(name: str) -> str:

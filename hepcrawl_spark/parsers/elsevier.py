@@ -345,6 +345,105 @@ def parse_elsevier_record(root: ET.Element, url: str | None = None) -> dict:
     }
 
 
+def extract_elsevier_references(root: ET.Element) -> list[dict]:
+    """bib-reference -> structured rows (elsevier.py:595-686 semantics).
+
+    Same output shape as parsers.jats.JATS_REFERENCE. Notable reference
+    behaviors pinned by the expected YMLs: the contribution title is NOT
+    extracted (the reference's xpath looks for a direct ./title child that
+    Elsevier nests under <contribution>); suffixes drop from author names;
+    editors come from <editors> blocks only.
+    """
+    refs = []
+    for bib in root.iter("bib-reference"):
+        label_el = bib.find("label")
+        label = (label_el.text or "").strip("[]") if label_el is not None else None
+        for citation in list(bib):
+            if citation.tag not in ("reference", "other-ref"):
+                continue
+
+            def xp_string(path):
+                el = citation.find(path)
+                return "".join(el.itertext()).strip() if el is not None else None
+
+            journal_title = xp_string(".//series/title/maintitle")
+            parent_title = None
+            for t in citation.iter("title"):
+                pass
+            for parent_tag in ("edited-book", "book"):
+                for pb in citation.iter(parent_tag):
+                    mt = pb.find("./title/maintitle")
+                    if mt is not None:
+                        parent_title = "".join(mt.itertext()).strip()
+            year_t = xp_string(".//date") or ""
+            fp = xp_string(".//pages/first-page")
+            lp = xp_string(".//pages/last-page")
+            artid = xp_string(".//article-number")
+            if fp and not artid:
+                # set_page_artid(first, last) sets artid=first when no dash
+                pass
+            doi = xp_string(".//doi")
+            if not doi:
+                # add_uid also accepts DOI-bearing urls from inter-ref
+                inter = xp_string(".//inter-ref") or ""
+                m = re.search(r"10\.\d{4,}/\S+", inter)
+                if m:
+                    doi = m.group(0)
+
+            # authors: all <authors><author> outside <editors>. The reference
+            # joins "given surname" into one string and re-splits it, so a
+            # multi-part surname's leading pieces migrate into given names
+            # ("L" + "O'C Drury" -> "Drury, L. O'C")
+            editor_parents = {id(a) for e in citation.iter("editors") for a in e.iter("author")}
+            authors, editors = [], []
+            for a in citation.iter("author"):
+                given = "".join(
+                    a.find("given-name").itertext()
+                ).strip() if a.find("given-name") is not None else ""
+                sur = "".join(
+                    a.find("surname").itertext()
+                ).strip() if a.find("surname") is not None else ""
+                toks = f"{given} {sur}".replace("’", "'").split()
+                if not toks:
+                    continue
+                particles = {"de", "van", "von", "der", "del", "di", "da", "la", "le"}
+                # a particle token starts the surname and it runs to the end
+                # ('F. De Oliveira Santos' -> 'De Oliveira Santos, F.')
+                i = next(
+                    (j for j in range(1, len(toks)) if toks[j].lower() in particles),
+                    len(toks) - 1,
+                )
+                surname = " ".join(toks[i:])
+                given_part = dot_single_initials_py(" ".join(toks[:i]))
+                # collapse spaces between dotted initials, case-insensitive
+                # ('C.m. c.' -> 'C.m.c.')
+                given_part = re.sub(r"([A-Za-z]\.)\s+(?=[A-Za-z]\.)", r"\1", given_part)
+                full = f"{surname}, {given_part}".rstrip(", ")
+                (editors if id(a) in editor_parents else authors).append(full)
+
+            refs.append(
+                {
+                    "label": label,
+                    "title": None,  # reference impl never matches nested titles
+                    "authors": authors,
+                    "editors": editors,
+                    "journal_title": journal_title,
+                    "parent_title": parent_title,
+                    "publisher": xp_string("./publisher/name"),
+                    "journal_volume": xp_string(".//volume-nr"),
+                    "journal_issue": xp_string(".//issue-nr"),
+                    "year": int(year_t) if year_t.isdigit() else None,
+                    "page_start": fp,
+                    "page_end": lp,
+                    "artid": artid,
+                    "dois": [doi] if doi else [],
+                    "arxiv_ids": [],
+                    "raw_ref": None,
+                }
+            )
+    return refs
+
+
 def parse_elsevier_body(body: bytes | str, url: str | None = None) -> list[dict]:
     try:
         if isinstance(body, (bytes, bytearray)):
