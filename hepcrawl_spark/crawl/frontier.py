@@ -153,12 +153,17 @@ def run_crawl(
 
     start_iter = 0
     frontier = url_seen = None
+    resumed_seen_size = 0
     if resume:
         m = read_manifest(state_dir)
         if m is not None:
             start_iter = m["iteration"] + 1
             frontier = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/frontier")
             url_seen = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/url_seen")
+            # the url_seen cardinality must survive the restart: the cuckoo
+            # rebuild is sized from it, and a filter sized for 0 items would
+            # silently overflow -> false negatives -> re-fetching seen URLs.
+            resumed_seen_size = m.get("seen_size") or url_seen.count()
     if frontier is None:
         frontier = seeds.select(
             "url",
@@ -232,15 +237,21 @@ def run_crawl(
 
     result = CrawlResult()
     metrics_rows = []
-    seen_size = 0
+    seen_size = resumed_seen_size
 
     for it in range(start_iter, cfg.max_iterations):
         t0 = time.monotonic()
 
-        # 1-2. politeness + robots
-        wave = select_wave(frontier, cfg.max_per_host, cfg.salt).drop("wave_rank")
-        if robots is not None:
-            wave = robots_gate(wave, robots)
+        # 1-2. politeness + robots. The PRE-robots wave is persisted and is
+        # what later retires rows from the frontier — robots-disallowed URLs
+        # must be removed too, or they are re-selected every iteration and
+        # permanently starve allowed same-host URLs below the politeness cap.
+        wave_pre = (
+            select_wave(frontier, cfg.max_per_host, cfg.salt)
+            .drop("wave_rank")
+            .persist()
+        )
+        wave = robots_gate(wave_pre, robots) if robots is not None else wave_pre
 
         # 3. crawl-once gate with membership prefilter. The probed wave is
         # persisted: the gate's fresh/maybe split reads it twice, and without
@@ -290,11 +301,39 @@ def run_crawl(
         # url exists in the corpus — always true for the synthetic graph)
         scheduled = gated.count() if cfg.detailed_stats else fetched_n
         if scheduled == 0:
+            # nothing fetched — but the wave may still be nonempty (all rows
+            # robots-blocked or already-seen). Those rows must be RETIRED
+            # from the frontier, not left to be re-selected forever; only an
+            # empty wave terminates the crawl. The extra count() runs solely
+            # on this rare path.
+            wave_n = wave_pre.count()
             gated.unpersist()
             fetched.unpersist()
             if wave_probed is not None:
                 wave_probed.unpersist()
-            break
+            if wave_n == 0:
+                wave_pre.unpersist()
+                break
+            it_dir = f"{state_dir}/iter_{it:04d}"
+            frontier = _snapshot(
+                frontier.join(wave_pre.select("url"), "url", "left_anti"),
+                f"{it_dir}/frontier",
+            )
+            url_seen = _snapshot(url_seen, f"{it_dir}/url_seen")
+            _write_manifest(
+                state_dir,
+                it,
+                {
+                    "frontier": f"{it_dir}/frontier",
+                    "url_seen": f"{it_dir}/url_seen",
+                    "seen_size": seen_size,
+                },
+            )
+            wave_pre.unpersist()
+            result.iterations.append(
+                IterationStats(it, 0, 0, 0, -1, seen_size, time.monotonic() - t0)
+            )
+            continue
         metrics_rows.extend(
             (it, pid, scheduled, n, n, 0) for pid, n in part_metrics
         )
@@ -329,10 +368,11 @@ def run_crawl(
             .groupBy("url")
             .agg(F.max("last_ts").alias("last_ts"))
         )
-        # anti-join against the cached probed wave when available (same url
-        # set as `wave`) — avoids re-running the politeness window shuffle
-        wave_urls = (wave_probed if wave_probed is not None else wave).select("url")
-        remaining = frontier.join(wave_urls, "url", "left_anti")
+        # retire the PRE-robots wave from the frontier: both fetched rows and
+        # robots-blocked rows leave for good (the reference's robots
+        # middleware drops denied requests permanently). wave_pre is cached,
+        # so this re-read costs no politeness-window shuffle.
+        remaining = frontier.join(wave_pre.select("url"), "url", "left_anti")
         candidates = new_frontier_rows.join(new_seen, "url", "left_anti").join(
             remaining.select("url"), "url", "left_anti"
         )
@@ -353,11 +393,16 @@ def run_crawl(
         _write_manifest(
             state_dir,
             it,
-            {"frontier": f"{it_dir}/frontier", "url_seen": f"{it_dir}/url_seen"},
+            {
+                "frontier": f"{it_dir}/frontier",
+                "url_seen": f"{it_dir}/url_seen",
+                "seen_size": seen_size,
+            },
         )
 
         gated.unpersist()
         fetched.unpersist()
+        wave_pre.unpersist()
         if wave_probed is not None:
             wave_probed.unpersist()
         frontier, url_seen = next_frontier, new_seen

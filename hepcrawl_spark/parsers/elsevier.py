@@ -368,8 +368,6 @@ def extract_elsevier_references(root: ET.Element) -> list[dict]:
 
             journal_title = xp_string(".//series/title/maintitle")
             parent_title = None
-            for t in citation.iter("title"):
-                pass
             for parent_tag in ("edited-book", "book"):
                 for pb in citation.iter(parent_tag):
                     mt = pb.find("./title/maintitle")
@@ -379,9 +377,6 @@ def extract_elsevier_references(root: ET.Element) -> list[dict]:
             fp = xp_string(".//pages/first-page")
             lp = xp_string(".//pages/last-page")
             artid = xp_string(".//article-number")
-            if fp and not artid:
-                # set_page_artid(first, last) sets artid=first when no dash
-                pass
             doi = xp_string(".//doi")
             if not doi:
                 # add_uid also accepts DOI-bearing urls from inter-ref
@@ -390,13 +385,21 @@ def extract_elsevier_references(root: ET.Element) -> list[dict]:
                 if m:
                     doi = m.group(0)
 
-            # authors: all <authors><author> outside <editors>. The reference
-            # joins "given surname" into one string and re-splits it, so a
-            # multi-part surname's leading pieces migrate into given names
-            # ("L" + "O'C Drury" -> "Drury, L. O'C")
-            editor_parents = {id(a) for e in citation.iter("editors") for a in e.iter("author")}
+            # authors only from ./contribution/authors/author, editors only
+            # from .//editors/authors/author (reference elsevier.py:559,577 —
+            # author lists under host/edited-book/book are NOT reference
+            # authors). The reference joins "given surname" into one string
+            # and re-splits it, so a multi-part surname's leading pieces
+            # migrate into given names ("L" + "O'C Drury" -> "Drury, L. O'C")
+            author_nodes = [
+                (a, False)
+                for a in citation.findall("./contribution/authors/author")
+            ] + [
+                (a, True)
+                for a in citation.findall(".//editors/authors/author")
+            ]
             authors, editors = [], []
-            for a in citation.iter("author"):
+            for a, is_editor in author_nodes:
                 given = "".join(
                     a.find("given-name").itertext()
                 ).strip() if a.find("given-name") is not None else ""
@@ -419,7 +422,7 @@ def extract_elsevier_references(root: ET.Element) -> list[dict]:
                 # ('C.m. c.' -> 'C.m.c.')
                 given_part = re.sub(r"([A-Za-z]\.)\s+(?=[A-Za-z]\.)", r"\1", given_part)
                 full = f"{surname}, {given_part}".rstrip(", ")
-                (editors if id(a) in editor_parents else authors).append(full)
+                (editors if is_editor else authors).append(full)
 
             refs.append(
                 {

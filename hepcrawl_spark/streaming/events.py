@@ -75,12 +75,16 @@ def streaming_url_seen_dedup(
     key_col: str = "props",
 ) -> DataFrame:
     """Streaming crawl-once: first occurrence per key within the watermark
-    horizon passes; duplicates are dropped by the state store. State size is
-    bounded by the watermark — the streaming analogue of the bloom-gated
-    anti-join (D1)."""
-    return frontier_stream.withWatermark(ts_col, watermark).dropDuplicates(
-        [key_col, ts_col]
-    )
+    horizon passes; repeat visits (same key, ANY timestamp inside the
+    horizon) are dropped by the state store. State size is bounded by the
+    watermark — the streaming analogue of the bloom-gated anti-join (D1).
+
+    ``dropDuplicatesWithinWatermark`` keys on the url alone, so the same URL
+    re-arriving with a different timestamp is still suppressed — keying on
+    (key, ts) would only remove exact duplicates, not repeat visits."""
+    return frontier_stream.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark([key_col])
 
 
 def run_available_now(stream_df: DataFrame, checkpoint: str) -> list:

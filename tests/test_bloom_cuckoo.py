@@ -60,3 +60,36 @@ def test_distributed_cuckoo_udf_roundtrip(spark):
     probe = cuckoo_might_contain_udf(spark, cf)
     hits = df.withColumn("m", probe("url_hash")).filter("m").count()
     assert hits == 2000  # no false negatives through the broadcast UDF
+
+
+def test_cuckoo_insert_batch_matches_per_key():
+    import numpy as np
+
+    from hepcrawl_spark.operators.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    a = CuckooFilter.sized_for(len(keys))
+    failed = a.insert_batch(keys)
+    assert failed == 0
+    # no false negatives after the vectorized build
+    assert a.might_contain(keys).all()
+    b = CuckooFilter.sized_for(len(keys))
+    for k in keys:
+        b.insert(int(k))
+    # same membership answers on a probe mix of present/absent keys
+    probes = np.concatenate([keys[:500], rng.integers(0, 2**63, 500).astype(np.uint64)])
+    assert (a.might_contain(probes) == b.might_contain(probes)).mean() > 0.99
+
+
+def test_cuckoo_overflow_is_loud(spark):
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.operators.cuckoo import build_cuckoo
+
+    df = spark.range(0, 20000).select(F.xxhash64("id").alias("url_hash"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overflow"):
+        # sized for 100 items but fed 20k -> must raise, not drop fingerprints
+        build_cuckoo(df, n_items=100, n_shards=2)

@@ -99,3 +99,82 @@ def test_determinism_same_seeds_same_result(spark, corpus, seeds, tmp_path):
             CrawlConfig(max_iterations=3, max_per_host=10, salt=2, filter_mode="none", state_dir=sd),
         )
     assert _final_seen(spark, a) == _final_seen(spark, b)
+
+
+def test_robots_blocked_urls_are_retired(spark, corpus, tmp_path):
+    """A robots-disallowed URL must leave the frontier permanently (the
+    reference's robots middleware drops denied requests for good) — it must
+    not be re-selected every wave, starving allowed same-host URLs."""
+    from hepcrawl_spark.crawl.frontier import read_manifest
+
+    rows = (
+        corpus.filter("host = 'host1.example.org'")
+        .orderBy("page_id")
+        .limit(3)
+        .collect()
+    )
+    blocked, a1, a2 = rows
+    seeds = spark.createDataFrame(
+        [
+            (blocked["url"], blocked["host"], 3.0, blocked["warc_ts"]),
+            (a1["url"], a1["host"], 2.0, a1["warc_ts"]),
+            (a2["url"], a2["host"], 1.0, a2["warc_ts"]),
+        ],
+        "url string, host string, priority double, discovered_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [(blocked["host"], f"/p/{blocked['page_id']}", "disallow")],
+        "host string, path_prefix string, allow string",
+    )
+    sd = str(tmp_path / "robots")
+    run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=2, max_per_host=2, salt=1,
+                    filter_mode="none", state_dir=sd),
+        robots=robots,
+    )
+    seen = _final_seen(spark, sd)
+    assert a1["url"] in seen
+    assert blocked["url"] not in seen
+    m = read_manifest(sd)
+    final_frontier = {
+        r["url"]
+        for r in spark.read.parquet(
+            f"{sd}/iter_{m['iteration']:04d}/frontier"
+        ).collect()
+    }
+    assert blocked["url"] not in final_frontier
+
+
+def test_fully_blocked_wave_does_not_halt_crawl(spark, corpus, tmp_path):
+    """When an entire wave is robots-blocked the crawl must retire it and
+    keep going, not stop with allowed URLs still pending."""
+    rows = (
+        corpus.filter("host = 'host2.example.org'")
+        .orderBy("page_id")
+        .limit(2)
+        .collect()
+    )
+    blocked, allowed = rows
+    seeds = spark.createDataFrame(
+        [
+            (blocked["url"], blocked["host"], 2.0, blocked["warc_ts"]),
+            (allowed["url"], allowed["host"], 1.0, allowed["warc_ts"]),
+        ],
+        "url string, host string, priority double, discovered_ts timestamp",
+    )
+    robots = spark.createDataFrame(
+        [(blocked["host"], f"/p/{blocked['page_id']}", "disallow")],
+        "host string, path_prefix string, allow string",
+    )
+    sd = str(tmp_path / "halting")
+    res = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=3, max_per_host=1, salt=1,
+                    filter_mode="none", state_dir=sd),
+        robots=robots,
+    )
+    # iteration 0: wave = {blocked} -> 0 fetched but crawl continues;
+    # iteration 1 fetches the allowed URL.
+    assert res.total_fetched >= 1
+    assert allowed["url"] in _final_seen(spark, sd)
