@@ -80,15 +80,53 @@ def select_wave(
 def crawl_order(
     frontier: DataFrame,
     order_cols: tuple[str, ...] = ("priority", "discovered_ts", "url"),
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """P4: the deterministic global dispatch order — priority DESC, then
     FIFO by discovery time, then url as the total-order tiebreak. This is
     the formalized Scrapy-scheduler order the north rule's "crawl ordering
-    must match" criterion refers to."""
-    w = Window.orderBy(
-        F.col(order_cols[0]).desc(), *[F.col(c) for c in order_cols[1:]]
+    must match" criterion refers to.
+
+    Scale shape: a naive ``Window.orderBy`` with no partition spec collapses
+    the whole frontier onto ONE task — the single-node bottleneck at a
+    10^10-row frontier. Instead the total order is composed distributively:
+
+      1. ``repartitionByRange`` on the sort key — partition i holds keys
+         that sort before partition i+1's (one range exchange, all
+         partitions balanced by sampling).
+      2. rank WITHIN each range partition (per-partition window — parallel).
+      3. per-partition row counts -> prefix-sum offsets (a few dozen rows,
+         broadcast back), so dispatch_order = offset[pid] + local_rank.
+
+    No stage ever sees more than one partition's rows in one task; the only
+    tiny relations (counts, offsets) are O(#partitions)."""
+    sort_exprs = [F.col(order_cols[0]).desc()] + [
+        F.col(c).asc() for c in order_cols[1:]
+    ]
+    n = num_partitions or frontier.sparkSession.sparkContext.defaultParallelism
+    ranged = frontier.repartitionByRange(n, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    return frontier.withColumn("dispatch_order", F.row_number().over(w))
+    w = Window.partitionBy("_pid").orderBy(*sort_exprs)
+    local = ranged.withColumn("_local", F.row_number().over(w))
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # prefix sums over O(#partitions) rows via a tiny theta self-join —
+    # deliberately NOT a window, so no unpartitioned window node exists
+    # anywhere in the plan
+    a = counts.select(F.col("_pid").alias("_pid_a"))
+    b = counts.select(F.col("_pid").alias("_pid_b"), F.col("_n").alias("_n_b"))
+    offsets = (
+        a.join(b, F.col("_pid_b") < F.col("_pid_a"), "left")
+        .groupBy("_pid_a")
+        .agg(F.coalesce(F.sum("_n_b"), F.lit(0)).alias("_offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), local["_pid"] == offsets["_pid_a"])
+        .withColumn(
+            "dispatch_order", (F.col("_offset") + F.col("_local")).cast("int")
+        )
+        .drop("_pid", "_pid_a", "_local", "_offset", "_n")
+    )
 
 
 def robots_gate(frontier: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:

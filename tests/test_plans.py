@@ -72,3 +72,42 @@ def test_cosine_topk_broadcasts_queries(spark):
     emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
     q = cosine_topk(emb, emb.filter("vec_id < 5"), k=3)
     assert uses_broadcast_join(q)
+
+
+def test_crawl_order_no_single_partition_exchange(spark):
+    """P4 dispatch order must never collapse the frontier onto one task
+    (round-1 verdict: the global Window.orderBy was THE scale-killer)."""
+    from hepcrawl_spark.operators.politeness import crawl_order
+    from hepcrawl_spark.sources.pages import (
+        frontier_from_pages,
+        load_documents,
+        pages_from_documents,
+    )
+
+    fr = frontier_from_pages(pages_from_documents(load_documents(spark, SF_MED)))
+    q = crawl_order(fr)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "dispatch order collapsed to one task"
+
+
+def test_crawl_order_is_a_total_order(spark):
+    """dispatch_order must be exactly 1..N in (priority DESC, ts, url) order."""
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.operators.politeness import crawl_order
+    from hepcrawl_spark.sources.pages import (
+        frontier_from_pages,
+        load_documents,
+        pages_from_documents,
+    )
+
+    fr = frontier_from_pages(pages_from_documents(load_documents(spark, SF_MED)))
+    rows = (
+        crawl_order(fr, num_partitions=7)
+        .select("dispatch_order", "priority", "discovered_ts", "url")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["dispatch_order"])
+    assert [r["dispatch_order"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r["priority"], r["discovered_ts"], r["url"]) for r in rows]
+    assert keys == sorted(keys)
