@@ -170,12 +170,17 @@ def d1_crawl_once_gate(spark, sf):
 # -- D1b: same semantics through the bloom prefilter (must match exact SQL) --
 @_q("d1b_crawl_once_bloom", _D1_ORACLE)
 def d1b_crawl_once_bloom(spark, sf):
-    from hepcrawl_spark.operators.bloom import build_bloom, might_contain_udf
+    from hepcrawl_spark.operators.bloom import (
+        build_bloom_sharded,
+        sharded_might_contain_udf,
+    )
 
     fr = _frontier(spark, sf)
     seen = _seen(spark, sf)
-    bf = build_bloom(seen.select(F.xxhash64("url").alias("url_hash")))
-    probe = might_contain_udf(spark, bf)
+    bf = build_bloom_sharded(
+        seen.select(F.xxhash64("url").alias("url_hash")), n_shards=8
+    )
+    probe = sharded_might_contain_udf(spark, bf)
     gated = D.crawl_once_gate(
         fr.withColumn("warc_ts", F.col("discovered_ts")).withColumn(
             "_maybe", probe(F.xxhash64("url"))

@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import textstats as X
-from ..operators.bloom import BloomFilter, build_bloom, might_contain_udf
+from ..operators.bloom import (
+    ShardedBloom,
+    build_bloom_sharded,
+    sharded_might_contain_udf,
+)
 from ..operators.cuckoo import build_cuckoo, cuckoo_might_contain_udf
 from ..operators.dedup import crawl_once_gate
 from ..operators.politeness import robots_gate, select_wave
@@ -56,6 +60,8 @@ class CrawlConfig:
                                      # -> records snapshot) | 'none'
     bloom_fpp: float = 0.01
     n_expected_urls: int = 1_000_000  # bloom sizing (total urls over the run)
+    bloom_shards: int = 32           # shard count; at 10^10 urls use ~1024 so
+                                     # each shard bitmap stays ~12 MB
     state_dir: str | None = None     # snapshots + manifest for resume
     keep_snapshots: int = 2          # older ones are vacuumed
     detailed_stats: bool = False     # exact frontier/seen sizes per iteration
@@ -180,59 +186,67 @@ def run_crawl(
     corpus = pages.select("url", "warc_ts", "text")
 
     # --- membership filter state (built once, delta-updated) ----------------
-    bf: BloomFilter | None = None
+    # SHARDED bloom (round-2): the filter is S independent shard bitmaps.
+    # 10^10-URL math: 1% fpp needs ~9.6e10 bits (~12 GB) total — a monolithic
+    # bitmap is un-buildable (full-size per-partition partials) and
+    # un-broadcastable. With S=1024 each shard is ~12 MB: builds are one
+    # task per shard, deltas touch only the shards a wave's hashes route to,
+    # and at full scale the filter lives as a (shard, bits) parquet/Iceberg
+    # table probed via bloom_probe_cogroup — zero driver state. In-sandbox
+    # the driver keeps the (small) shard dict and broadcasts it.
+    bf: ShardedBloom | None = None
     if cfg.filter_mode == "bloom":
-        bf = BloomFilter.sized_for(cfg.n_expected_urls, cfg.bloom_fpp)
         seen_now = url_seen if resume and start_iter > 0 else None
         if seen_now is not None:
-            built = build_bloom(
+            bf = build_bloom_sharded(
                 seen_now.select(F.xxhash64("url").alias("url_hash")),
                 n_items=cfg.n_expected_urls,
                 fpp=cfg.bloom_fpp,
+                n_shards=cfg.bloom_shards,
             )
-            bf.merge(built)
+        else:
+            bf = ShardedBloom.sized_for(
+                cfg.n_expected_urls, cfg.bloom_fpp, cfg.bloom_shards
+            )
 
     def _metrics_and_bloom_delta(fetched: DataFrame):
         """ONE pass over the fetched wave yields per-partition metrics AND
-        (bloom mode) the partial bitmaps for the filter's delta update —
-        instead of two separate jobs. Driver receives only
-        (partition_id, count, bitmap-bytes) rows."""
+        (bloom mode) the wave's url hashes for the filter's delta update —
+        instead of two separate jobs. Driver receives (partition_id, count,
+        hash-bytes) rows: delta bytes are proportional to the WAVE (8 bytes
+        per fetched url), never to the filter size — the round-1 design
+        shipped one full-size bitmap per partition per iteration."""
         import numpy as np
         import pandas as pd
         from pyspark import TaskContext
 
-        n_bits = bf.n_bits if bf is not None else 0
-        k = bf.k if bf is not None else 0
         with_bloom = bf is not None
 
         def per_partition(batches):
             pid = TaskContext.get().partitionId()
-            local = BloomFilter(n_bits, k) if with_bloom else None
+            chunks = []
             n = 0
             for pdf in batches:
                 if len(pdf):
                     n += len(pdf)
                     if with_bloom:
-                        local.add(pdf.iloc[:, 0].to_numpy(dtype=np.int64))
+                        chunks.append(pdf.iloc[:, 0].to_numpy(dtype=np.int64))
             if n:
+                blob = np.concatenate(chunks).tobytes() if with_bloom else b""
                 yield pd.DataFrame(
-                    {
-                        "partition_id": [pid],
-                        "n": [n],
-                        "bits": [local.bits.tobytes() if with_bloom else b""],
-                    }
+                    {"partition_id": [pid], "n": [n], "hashes": [blob]}
                 )
 
         rows = (
             fetched.select(F.xxhash64("url").alias("url_hash"))
-            .mapInPandas(per_partition, "partition_id int, n long, bits binary")
+            .mapInPandas(per_partition, "partition_id int, n long, hashes binary")
             .collect()
         )
         if with_bloom:
             import numpy as np
 
             for r in rows:
-                bf.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+                bf.add(np.frombuffer(r["hashes"], dtype=np.int64))
         return [(r["partition_id"], r["n"]) for r in rows]
 
     result = CrawlResult()
@@ -259,7 +273,7 @@ def run_crawl(
         use_filter = it > start_iter or (resume and start_iter > 0)
         wave_probed = None
         if cfg.filter_mode == "bloom" and use_filter:
-            probe = might_contain_udf(spark, bf)
+            probe = sharded_might_contain_udf(spark, bf)
             wave_probed = (
                 wave.withColumn("warc_ts", F.col("discovered_ts"))
                 .withColumn("_maybe", probe(F.xxhash64("url")))

@@ -93,3 +93,60 @@ def test_cuckoo_overflow_is_loud(spark):
     with _pytest.raises(Exception, match="overflow"):
         # sized for 100 items but fed 20k -> must raise, not drop fingerprints
         build_cuckoo(df, n_items=100, n_shards=2)
+
+
+def test_sharded_bloom_build_and_probe_paths_agree(spark):
+    """Distributed sharded build must have no false negatives, and the
+    zero-driver-state cogroup probe must answer exactly like the broadcast
+    probe on the same filter."""
+    from hepcrawl_spark.operators.bloom import (
+        bloom_probe_cogroup,
+        build_bloom_sharded,
+        sharded_might_contain_udf,
+    )
+
+    seen = spark.range(0, 4000).select(F.xxhash64("id").alias("url_hash"))
+    sb = build_bloom_sharded(seen, n_items=4000, n_shards=8)
+    vals = np.array([r["url_hash"] for r in seen.collect()], dtype=np.int64)
+    assert sb.might_contain(vals).all()  # no false negatives, local probe
+
+    frontier = spark.range(0, 8000).select(
+        F.col("id").alias("fid"), F.xxhash64("id").alias("url_hash")
+    )
+    bcast = sharded_might_contain_udf(spark, sb)
+    via_bcast = {
+        r["fid"]: r["m"]
+        for r in frontier.withColumn("m", bcast("url_hash")).collect()
+    }
+    shard_table = sb.to_table(spark)
+    via_cogroup = {
+        r["fid"]: r["_maybe"]
+        for r in bloom_probe_cogroup(frontier, shard_table, n_shards=8).collect()
+    }
+    assert via_bcast == via_cogroup
+    # first 4000 are inserted -> all True; fpp on the rest stays near 1%
+    assert all(via_bcast[i] for i in range(4000))
+    fp = sum(via_bcast[i] for i in range(4000, 8000)) / 4000
+    assert fp < 0.05
+
+
+def test_sharded_bloom_delta_update_routes_to_shards():
+    from hepcrawl_spark.operators.bloom import ShardedBloom
+
+    sb = ShardedBloom.sized_for(10_000, n_shards=16)
+    a = np.arange(0, 5000, dtype=np.int64) * 2654435761 % (2**62)
+    b = np.arange(5000, 10_000, dtype=np.int64) * 2654435761 % (2**62)
+    sb.add(a)
+    assert sb.might_contain(a).all()
+    before = {s: bf.bits.tobytes() for s, bf in sb.shards.items()}
+    sb.add(b)  # delta
+    assert sb.might_contain(np.concatenate([a, b])).all()
+    # delta only flipped bits in shards that received keys (all of them here),
+    # but a single-key delta touches exactly one shard:
+    sb2 = ShardedBloom.from_blobs(sb.to_blobs(), sb.n_shards)
+    one = np.array([123456789], dtype=np.int64)
+    sid = int(np.mod(one, sb2.n_shards)[0])
+    pre = {s: bf.bits.tobytes() for s, bf in sb2.shards.items()}
+    sb2.add(one)
+    changed = [s for s, bf in sb2.shards.items() if bf.bits.tobytes() != pre[s]]
+    assert changed == [sid] or changed == []  # [] iff bits already set
