@@ -839,6 +839,38 @@ def x2_ngram_jaccard(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+# -- X2b: same with the document-frequency cap (the 100x scale path: one
+# stop-shingle shared by k docs would otherwise make a k^2 join bucket).
+# Set sizes stay exact; only the intersection join drops shingles with
+# df > cap — mirrored exactly in the oracle.
+@_q(
+    "x2b_ngram_jaccard_capped",
+    f"""WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+    rare AS (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 8),
+    capped AS (SELECT g.* FROM grams g JOIN rare r ON g.shingle = r.shingle),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+    ORDER BY id_a, id_b""",
+)
+def x2b_ngram_jaccard_capped(spark, sf):
+    pairs = D.ngram_jaccard_pairs(
+        _docs(spark, sf), threshold=0.5, max_shingle_df=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 # -- X3: minhash signatures -------------------------------------------------------------------------------
 _MH_N = 8
 

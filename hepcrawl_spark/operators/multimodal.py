@@ -102,30 +102,41 @@ def extract_features(
     """
     import hashlib
 
+    def _feature(payload: bytes, modality: str):
+        try:
+            if use_fake_decoder:
+                feat = _deterministic_fake_feature(payload, dim)
+            else:
+                feat = DECODERS[modality](payload).astype(np.float32).ravel()[:dim]
+            return feat.astype(np.float32).tolist(), None
+        except NotImplementedError as exc:
+            return None, f"NotImplementedError: {exc}"
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar, no iterrows: only the inherently per-payload work
+        # (sha256, codec call) runs per element, via comprehensions over
+        # the raw column arrays
         for pdf in it:
-            out = {
-                "media_id": [], "modality": [], "n_bytes": [],
-                "sha_prefix": [], "feature": [], "error": [],
-            }
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                out["media_id"].append(row["media_id"])
-                out["modality"].append(row["modality"])
-                out["n_bytes"].append(len(payload))
-                out["sha_prefix"].append(hashlib.sha256(payload).hexdigest()[:16])
-                try:
-                    if use_fake_decoder:
-                        feat = _deterministic_fake_feature(payload, dim)
-                    else:
-                        decoded = DECODERS[row["modality"]](payload)
-                        feat = decoded.astype(np.float32).ravel()[:dim]
-                    out["feature"].append([float(x) for x in feat])
-                    out["error"].append(None)
-                except NotImplementedError as exc:
-                    out["feature"].append(None)
-                    out["error"].append(f"NotImplementedError: {exc}")
-            yield pd.DataFrame(out)
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            feats, errs = (
+                zip(*(_feature(p, m) for p, m in zip(payloads, pdf["modality"])))
+                if len(pdf)
+                else ((), ())
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "n_bytes": np.fromiter(
+                        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                    ),
+                    "sha_prefix": [
+                        hashlib.sha256(p).hexdigest()[:16] for p in payloads
+                    ],
+                    "feature": list(feats),
+                    "error": list(errs),
+                }
+            )
 
     return media.mapInPandas(batches, FEATURES_SCHEMA)
 
