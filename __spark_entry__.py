@@ -239,6 +239,98 @@ def s3_missing_anti_join(spark, sf):
     return pages.join(_seen(spark, sf), "url", "left_anti").select("url").orderBy("url")
 
 
+# -- S4: zip member scan (WSP package shape, reference utils.py:44-54) -------
+# Real compress -> binary column -> decompress round trip: documents pack
+# into deterministic zips (one per archive_id), the member scan explodes
+# them back, and the oracle predicts names + content digests from the source
+# table directly.
+@_q(
+    "s4_zip_members",
+    """SELECT doc_id % 7 AS archive_id,
+           'doc_' || doc_id || '.xml' AS member_name,
+           md5(text) AS content_md5
+    FROM documents ORDER BY archive_id, member_name""",
+)
+def s4_zip_members(spark, sf):
+    from hepcrawl_spark.sources import archives as ARC
+
+    docs = _docs(spark, sf).select(
+        (F.col("doc_id") % 7).alias("archive_id"),
+        F.concat(
+            F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".xml")
+        ).alias("member_name"),
+        "text",
+    )
+    packed = ARC.pack_zip_by_group(docs, "archive_id", "member_name", "text")
+    members = ARC.explode_archive_members(packed, fmt="zip", suffix=".xml")
+    return members.select(
+        "archive_id", "member_name", F.md5("member_bytes").alias("content_md5")
+    ).orderBy("archive_id", "member_name")
+
+
+def _tar_mixed_archives(spark, sf):
+    """tar.gz packages carrying BOTH xml and pdf members per doc (the EDP/IOP
+    package shape), so the suffix filter is actually exercised."""
+    from hepcrawl_spark.sources import archives as ARC
+
+    docs = _docs(spark, sf)
+    xml = docs.select(
+        (F.col("doc_id") % 7).alias("archive_id"),
+        F.concat(
+            F.lit("data/doc_"), F.col("doc_id").cast("string"), F.lit(".xml")
+        ).alias("member_name"),
+        F.col("text").alias("content"),
+    )
+    pdf = docs.select(
+        (F.col("doc_id") % 7).alias("archive_id"),
+        F.concat(
+            F.lit("data/doc_"), F.col("doc_id").cast("string"), F.lit(".pdf")
+        ).alias("member_name"),
+        F.concat(F.lit("%PDF-"), F.md5("text")).alias("content"),
+    )
+    return ARC.pack_tar_by_group(
+        xml.unionByName(pdf), "archive_id", "member_name", "content"
+    )
+
+
+# -- S5: tar member scan, xml members (EDP shape, edp_spider.py:205-219) -----
+@_q(
+    "s5_tar_members_xml",
+    """SELECT doc_id % 7 AS archive_id,
+           'data/doc_' || doc_id || '.xml' AS member_name,
+           md5(text) AS content_md5
+    FROM documents ORDER BY archive_id, member_name""",
+)
+def s5_tar_members_xml(spark, sf):
+    from hepcrawl_spark.sources import archives as ARC
+
+    members = ARC.explode_archive_members(
+        _tar_mixed_archives(spark, sf), fmt="tar", suffix=".xml"
+    )
+    return members.select(
+        "archive_id", "member_name", F.md5("member_bytes").alias("content_md5")
+    ).orderBy("archive_id", "member_name")
+
+
+# -- S6: tar member scan, pdf members flattened (IOP, iop_spider.py:132-147) --
+@_q(
+    "s6_tar_members_pdf",
+    """SELECT doc_id % 7 AS archive_id,
+           'doc_' || doc_id || '.pdf' AS member_name,
+           md5('%PDF-' || md5(text)) AS content_md5
+    FROM documents ORDER BY archive_id, member_name""",
+)
+def s6_tar_members_pdf(spark, sf):
+    from hepcrawl_spark.sources import archives as ARC
+
+    members = ARC.explode_archive_members(
+        _tar_mixed_archives(spark, sf), fmt="tar", suffix=".pdf", flatten=True
+    )
+    return members.select(
+        "archive_id", "member_name", F.md5("member_bytes").alias("content_md5")
+    ).orderBy("archive_id", "member_name")
+
+
 # -- J5: the fetch join -------------------------------------------------------
 @_q(
     "j5_fetch_join",
