@@ -331,6 +331,198 @@ def s6_tar_members_pdf(spark, sf):
     ).orderBy("archive_id", "member_name")
 
 
+# -- S12: Elsevier CONSYN batch feed (elsevier_spider.py:115-132) -------------
+@_q(
+    "s12_batch_feed",
+    """SELECT source AS feed,
+           'pkg_' || doc_id || '.zip' AS name,
+           'https://consyn.example.org/batch/' || doc_id || '.zip' AS url
+    FROM documents ORDER BY feed, name""",
+)
+def s12_batch_feed(spark, sf):
+    from hepcrawl_spark.parsers.consyn_feed import parse_batch_feed_pages
+
+    entry = F.concat(
+        F.lit("<entry><title>pkg_"),
+        F.col("doc_id").cast("string"),
+        F.lit('.zip</title><link href="https://consyn.example.org/batch/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.zip"/></entry>'),
+    )
+    feeds = (
+        _docs(spark, sf)
+        .select("source", entry.alias("e"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                F.concat_ws("", F.array_sort(F.collect_list("e"))),
+                F.lit("</feed>"),
+            ).alias("body")
+        )
+        .withColumnRenamed("source", "feed")
+    )
+    return parse_batch_feed_pages(feeds).orderBy("feed", "name")
+
+
+# -- J4: downloaded-file back-join (tohep.py:38-67) ---------------------------
+# Each record carries two documents; record_files exist for even doc_ids.
+# Matched docs repoint url at the fetched path (old_url <- previous url,
+# key <- basename); unmatched docs with a nonempty lookup restore
+# url <- old_url (including old_url = NULL, faithfully to the reference).
+@_q(
+    "j4_document_patch",
+    """SELECT record_id, pos, url, old_url, doc_key FROM (
+      SELECT doc_id AS record_id, 0 AS pos,
+        CASE WHEN doc_id % 2 = 0
+             THEN 's3://store/doc_' || doc_id || '.pdf'
+             ELSE 'https://pub.example.org/' || doc_id || '/doc_' || doc_id || '.pdf'
+        END AS url,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'https://cdn.example.org/' || doc_id || '/doc_' || doc_id || '.pdf'
+             ELSE 'https://pub.example.org/' || doc_id || '/doc_' || doc_id || '.pdf'
+        END AS old_url,
+        CASE WHEN doc_id % 2 = 0 THEN 'doc_' || doc_id || '.pdf' END AS doc_key
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1, NULL, NULL, 'k0' FROM documents
+    ) ORDER BY record_id, pos""",
+)
+def j4_document_patch(spark, sf):
+    from hepcrawl_spark.operators.records import patch_document_urls
+
+    d = _docs(spark, sf)
+    sid = F.col("doc_id").cast("string")
+    doc1 = F.struct(
+        F.concat(F.lit("https://cdn.example.org/"), sid, F.lit("/doc_"), sid, F.lit(".pdf")).alias("url"),
+        F.concat(F.lit("https://pub.example.org/"), sid, F.lit("/doc_"), sid, F.lit(".pdf")).alias("old_url"),
+        F.lit(None).cast("string").alias("key"),
+    )
+    doc2 = F.struct(
+        F.concat(F.lit("https://cdn.example.org/"), sid, F.lit("/other_"), sid, F.lit(".txt")).alias("url"),
+        F.lit(None).cast("string").alias("old_url"),
+        F.lit("k0").alias("key"),
+    )
+    records = d.select(
+        F.col("doc_id").alias("record_id"), F.array(doc1, doc2).alias("documents")
+    )
+    record_files = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("record_id"),
+        F.concat(F.lit("files/doc_"), sid, F.lit(".pdf")).alias("name"),
+        F.concat(F.lit("s3://store/doc_"), sid, F.lit(".pdf")).alias("path"),
+    )
+    patched = patch_document_urls(records, record_files)
+    return (
+        patched.select(
+            "record_id", F.posexplode("documents").alias("pos", "d")
+        )
+        .select(
+            "record_id",
+            "pos",
+            F.col("d.url").alias("url"),
+            F.col("d.old_url").alias("old_url"),
+            F.col("d.key").alias("doc_key"),
+        )
+        .orderBy("record_id", "pos")
+    )
+
+
+# -- F2: full Elsevier harvest-worthiness conjunction (elsevier.py:686-696) ---
+_F2_FIELDS_SQL = """
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 'full-length article'
+                      WHEN 1 THEN 'review article'
+                      WHEN 2 THEN 'book review'
+                      ELSE 'erratum' END AS article_type,
+      CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'T' || doc_id END AS title,
+      source AS journal_title,
+      CASE WHEN doc_id % 7 = 0 THEN NULL
+           ELSE CAST(doc_id % 90 + 1 AS VARCHAR) END AS journal_volume,
+      CASE WHEN doc_id % 3 = 0 THEN 'a' || doc_id END AS artid,
+      CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 40 AS VARCHAR) END AS page_start
+    FROM documents"""
+
+
+@_q(
+    "f2_harvest_worthy",
+    f"""WITH fields AS ({_F2_FIELDS_SQL})
+    SELECT doc_id FROM fields
+    WHERE article_type IN ('full-length article','addendum','chapter',
+            'erratum','review article','short communication','short survey',
+            'publisher''s note','discussion')
+      AND title IS NOT NULL AND title <> ''
+      AND journal_title IS NOT NULL AND journal_title <> ''
+      AND journal_volume IS NOT NULL AND journal_volume <> ''
+      AND ((artid IS NOT NULL AND artid <> '')
+           OR (page_start IS NOT NULL AND page_start <> ''))
+    ORDER BY doc_id""",
+)
+def f2_harvest_worthy(spark, sf):
+    from hepcrawl_spark.operators.filters import harvest_worthy
+
+    sid = F.col("doc_id").cast("string")
+    fields = _docs(spark, sf).select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.lit("full-length article"),
+                F.lit("review article"),
+                F.lit("book review"),
+                F.lit("erratum"),
+            ),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("article_type"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("T"), sid)
+        ).alias("title"),
+        F.col("source").alias("journal_title"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            (F.col("doc_id") % 90 + 1).cast("string")
+        ).alias("journal_volume"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("a"), sid)).alias("artid"),
+        F.when(F.col("doc_id") % 3 == 1, (F.col("doc_id") % 40).cast("string")).alias(
+            "page_start"
+        ),
+    )
+    return fields.filter(harvest_worthy()).select("doc_id").orderBy("doc_id")
+
+
+# -- F4: EDP open-access two-way split (edp_spider.py:125-127,243-253) --------
+@_q(
+    "f4_open_access_split",
+    """WITH fields AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN NULL
+             ELSE '10.1051/epjconf/' || doc_id END AS doi,
+        CASE WHEN doc_id % 2 = 0 THEN 'EPJ Web of Conferences'
+             ELSE source END AS journal_title
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN doi IS NOT NULL AND journal_title = 'EPJ Web of Conferences'
+           THEN 'pdf' ELSE 'direct' END AS branch
+    FROM fields ORDER BY doc_id""",
+)
+def f4_open_access_split(spark, sf):
+    from hepcrawl_spark.operators.filters import split_by_open_access
+
+    sid = F.col("doc_id").cast("string")
+    fields = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("10.1051/epjconf/"), sid)).alias("doi"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("EPJ Web of Conferences"))
+        .otherwise(F.col("source"))
+        .alias("journal_title"),
+    )
+    pdf_wave, direct = split_by_open_access(fields)
+    return (
+        pdf_wave.select("doc_id", F.lit("pdf").alias("branch"))
+        .unionByName(direct.select("doc_id", F.lit("direct").alias("branch")))
+        .orderBy("doc_id")
+    )
+
+
 # -- J5: the fetch join -------------------------------------------------------
 @_q(
     "j5_fetch_join",
