@@ -331,6 +331,79 @@ def s6_tar_members_pdf(spark, sf):
     ).orderBy("archive_id", "member_name")
 
 
+# -- tohep: whole-record normalization (tohep.py:89-357) ----------------------
+# Flat spider items built from documents run the full two-stage lifecycle
+# (normalize_hepcrawl_record -> hepcrawl_to_hep); the oracle predicts the
+# scalar projections (license-URL naming, collaboration normalization,
+# collections -> document types, pubinfo pruning, int page count) in SQL.
+@_q(
+    "tohep_normalize",
+    """SELECT CAST(doc_id AS VARCHAR) AS record_id,
+      'T' || doc_id AS title,
+      CASE WHEN doc_id % 4 = 0 THEN 'book' ELSE 'article' END AS document_types,
+      CASE WHEN doc_id % 2 = 0 THEN 'CC BY 3.0' ELSE 'CC BY 4.0' END AS license_name,
+      'G' || (doc_id % 7) AS collaborations,
+      CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS journal_title,
+      CASE WHEN doc_id % 5 = 0 THEN NULL
+           ELSE CAST(1990 + doc_id % 30 AS VARCHAR) END AS year,
+      CAST(doc_id % 25 + 1 AS VARCHAR) AS number_of_pages
+    FROM documents ORDER BY record_id""",
+)
+def tohep_normalize(spark, sf):
+    from hepcrawl_spark.tohep import tohep_normalize_pages
+
+    d = _docs(spark, sf)
+    sid = F.col("doc_id").cast("string")
+    no_pub = F.col("doc_id") % 5 == 0
+    item = F.struct(
+        F.concat(F.lit("T"), sid).alias("title"),
+        F.col("text").alias("abstract"),
+        F.when(~no_pub, F.col("source")).alias("journal_title"),
+        F.when(~no_pub, (F.col("doc_id") % 30 + 1990).cast("string")).alias(
+            "journal_year"
+        ),
+        F.array((F.col("doc_id") % 25 + 1).cast("string")).alias("page_nr"),
+        F.array(
+            F.struct(
+                F.concat(
+                    F.lit("http://creativecommons.org/licenses/by/"),
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("3.0")).otherwise(
+                        F.lit("4.0")
+                    ),
+                    F.lit("/"),
+                ).alias("url")
+            )
+        ).alias("license"),
+        F.array(
+            F.struct(
+                F.concat(
+                    F.lit("The G"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(" Collaboration"),
+                ).alias("value")
+            )
+        ).alias("collaborations"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.array(F.struct(F.lit("Book").alias("primary"))),
+        ).alias("collections"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.lit("hepcrawl").alias("method"),
+            F.lit("2024-01-01T00:00:00").alias("datetime"),
+            F.lit("job1").alias("submission_number"),
+        ).alias("acquisition_source"),
+    )
+    records = d.select(sid.alias("record_id"), F.to_json(item).alias("record_json"))
+    return (
+        tohep_normalize_pages(records, pre_normalize_source="graft")
+        .select(
+            "record_id", "title", "document_types", "license_name",
+            "collaborations", "journal_title", "year", "number_of_pages",
+        )
+        .orderBy("record_id")
+    )
+
+
 # -- S12: Elsevier CONSYN batch feed (elsevier_spider.py:115-132) -------------
 @_q(
     "s12_batch_feed",
