@@ -34,6 +34,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -356,6 +357,7 @@ def run_crawl(
         # on the synthetic corpus the record is the textstats feature row)
         # + outlink explosion
         it_dir = f"{state_dir}/iter_{it:04d}"
+        records = None
         if cfg.parse_mode == "stats":
             records = fetched.select(
                 "url",
@@ -364,7 +366,6 @@ def run_crawl(
                 F.round(X.english_score("text"), 4).alias("en_score"),
                 X.fingerprint("text").alias("fingerprint"),
             )
-            records.write.mode("overwrite").parquet(f"{it_dir}/records")
 
         links = extract_outlinks(fetched)
         new_frontier_rows = (
@@ -394,9 +395,31 @@ def run_crawl(
             candidates.select("url", "host", "priority", "discovered_ts", "attempt")
         )
 
-        # 7. snapshot (data first, manifest last = atomic commit)
-        next_frontier = _snapshot(next_frontier, f"{it_dir}/frontier")
-        new_seen = _snapshot(new_seen, f"{it_dir}/url_seen")
+        # 7. snapshot (data first, manifest last = atomic commit). The three
+        # writes (records sink, frontier snapshot, url_seen snapshot) are
+        # INDEPENDENT jobs over the already-cached `fetched` + the previous
+        # parquet state, so they are submitted concurrently from driver
+        # threads — the Spark scheduler interleaves them across the executor
+        # pool. This removes two of the per-iteration serial job-commit
+        # latencies that dominated the round-1 fixed cost (~8-9 s/iteration
+        # of planning + commit measured in BENCH/BASELINE.md).
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = {
+                "frontier": pool.submit(
+                    _snapshot, next_frontier, f"{it_dir}/frontier"
+                ),
+                "url_seen": pool.submit(_snapshot, new_seen, f"{it_dir}/url_seen"),
+            }
+            if records is not None:
+                futs["records"] = pool.submit(
+                    lambda: records.write.mode("overwrite").parquet(
+                        f"{it_dir}/records"
+                    )
+                )
+            next_frontier = futs["frontier"].result()
+            new_seen = futs["url_seen"].result()
+            if "records" in futs:
+                futs["records"].result()
         if cfg.detailed_stats:
             new_frontier_size = next_frontier.count()
             seen_size = new_seen.count()
