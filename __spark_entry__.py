@@ -331,6 +331,47 @@ def s6_tar_members_pdf(spark, sf):
     ).orderBy("archive_id", "member_name")
 
 
+# -- C18: list -> value-dict shaping (outputs.py:14-59) -----------------------
+@_q(
+    "c18_value_dicts",
+    """SELECT doc_id, 'author' AS kw_source, 'kw_' || (doc_id % 9) AS kw_value,
+           'PACS' AS standard,
+           CAST(doc_id % 13 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR)
+             AS classification_number
+    FROM documents ORDER BY doc_id""",
+)
+def c18_value_dicts(spark, sf):
+    from hepcrawl_spark.functions import shaping as SH
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.array(F.concat(F.lit("kw_"), (F.col("doc_id") % 9).cast("string"))).alias(
+            "kws"
+        ),
+        F.array(
+            F.concat(
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 7).cast("string"),
+            )
+        ).alias("pacs"),
+    )
+    shaped = d.select(
+        "doc_id",
+        F.explode(SH.free_keywords("kws")).alias("kw"),
+        SH.classification_numbers("pacs").alias("cn"),
+    )
+    return shaped.select(
+        "doc_id",
+        F.col("kw.source").alias("kw_source"),
+        F.col("kw.value").alias("kw_value"),
+        F.element_at("cn", 1)["standard"].alias("standard"),
+        F.element_at("cn", 1)["classification_number"].alias(
+            "classification_number"
+        ),
+    ).orderBy("doc_id")
+
+
 # -- tohep: whole-record normalization (tohep.py:89-357) ----------------------
 # Flat spider items built from documents run the full two-stage lifecycle
 # (normalize_hepcrawl_record -> hepcrawl_to_hep); the oracle predicts the

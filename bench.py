@@ -109,6 +109,31 @@ def main() -> None:
                  "x5_cosine_topk", "p1_politeness_wave", "d1b_crawl_once_bloom"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
+    # -- scale-guard measurements (round-2 verdict follow-ups) ----------------
+    # cuckoo build throughput on 1M hashes (vectorized batch insert path)
+    from hepcrawl_spark.operators.cuckoo import build_cuckoo
+
+    hashes_1m = spark.range(0, 1_000_000).select(F.xxhash64("id").alias("url_hash"))
+    timed("cuckoo_build_1m", lambda: build_cuckoo(hashes_1m, n_shards=32, n_items=1_000_000))
+    extras["cuckoo_build_1m_keys_per_sec"] = round(1_000_000 / timings["cuckoo_build_1m"], 1)
+
+    # DF-capped n-gram Jaccard on an adversarially skewed corpus (every doc
+    # shares one stop-phrase): the cap bounds the shingle self-join. The
+    # uncapped quadratic variant is deliberately NOT run here — on this
+    # corpus it produces ~n^2/2 * ngrams candidate rows by construction.
+    skew_docs = spark.range(0, n_pages // 5).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("all rights reserved by the publisher "),
+            F.sha2(F.col("id").cast("string"), 256), F.lit(" "),
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit("x")), 256),
+        ).alias("text"),
+    )
+    extras["jaccard_capped_skew_pairs"] = timed(
+        "ngram_jaccard_capped_skew",
+        lambda: D.ngram_jaccard_pairs(skew_docs, threshold=0.5, max_shingle_df=8).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -57,11 +57,22 @@ def crawl_once_gate(
     )
 
 
-def dedup_by_key(df: DataFrame, key: str, order: str) -> DataFrame:
+def dedup_by_key(
+    df: DataFrame, key: str, order: str, tiebreak: str | None = None
+) -> DataFrame:
     """D2: deterministic dropDuplicates — keep the min(order) row per key
-    (groupBy+min instead of dropDuplicates so results are reproducible)."""
+    (groupBy+min instead of dropDuplicates so results are reproducible).
+
+    When several rows share (key, min(order)) they are ALL kept unless
+    ``tiebreak`` names a second column, in which case the min(tiebreak) row
+    among the tied set wins — pass a unique column (url, doc_id) whenever
+    exactly-one-row-per-key matters."""
     keep = df.groupBy(key).agg(F.min(order).alias(order))
-    return df.join(keep, [key, order], "left_semi")
+    out = df.join(keep, [key, order], "left_semi")
+    if tiebreak is not None:
+        keep2 = out.groupBy(key).agg(F.min(tiebreak).alias(tiebreak))
+        out = out.join(keep2, [key, tiebreak], "left_semi")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -94,3 +94,40 @@ def test_dedup_by_key_deterministic(spark):
     )
     out = {(r["k"], r["v"]) for r in D.dedup_by_key(df, "k", "v").collect()}
     assert out == {("k1", "a"), ("k2", "z")}
+
+
+def test_dedup_by_key_tiebreak(spark):
+    from hepcrawl_spark.operators.dedup import dedup_by_key
+
+    df = spark.createDataFrame(
+        [("k", 1, "b"), ("k", 1, "a"), ("k", 2, "c"), ("j", 5, "z")],
+        "key string, ord int, tb string",
+    )
+    # without a tiebreak, (key, min-ord) ties are ALL kept (documented)
+    assert dedup_by_key(df, "key", "ord").count() == 3
+    rows = dedup_by_key(df, "key", "ord", tiebreak="tb").orderBy("key").collect()
+    assert [(r["key"], r["ord"], r["tb"]) for r in rows] == [
+        ("j", 5, "z"), ("k", 1, "a")
+    ]
+
+
+def test_value_dict_shaping(spark):
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.functions import shaping as SH
+
+    df = spark.createDataFrame([(["a", "b"],)], "vals array<string>")
+    r = df.select(
+        SH.list_to_value_dicts("vals").alias("v"),
+        SH.free_keywords("vals", source="classifier").alias("k"),
+        SH.classification_numbers("vals").alias("c"),
+    ).collect()[0]
+    assert [d.asDict() for d in r["v"]] == [{"value": "a"}, {"value": "b"}]
+    assert [d.asDict() for d in r["k"]] == [
+        {"source": "classifier", "value": "a"},
+        {"source": "classifier", "value": "b"},
+    ]
+    assert [d.asDict() for d in r["c"]] == [
+        {"standard": "PACS", "classification_number": "a"},
+        {"standard": "PACS", "classification_number": "b"},
+    ]
