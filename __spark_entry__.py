@@ -1342,6 +1342,41 @@ def x4_simhash(spark, sf):
 
 
 # -- X5: brute-force cosine top-k ---------------------------------------------------------------------------------
+# -- X5c: LSH hyperplane signatures (the ANN bucketing step) ------------------
+# The signature is fully portable: hyperplane weight(b, d) = +-1 by the
+# parity of the first 8 md5 hex chars of 'lsh_<b>_<d>', folded in array
+# order — so DuckDB reproduces the exact sign sums and bucket ids.
+@_q(
+    "x5c_lsh_signature",
+    """WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), bits AS (SELECT unnest(range(0, 6)) AS b),
+    terms AS (
+      SELECT vec_id, b,
+        list_reduce(
+          list_transform(v, (x, i) ->
+            x * (CASE WHEN ('0x' || substr(md5('lsh_' || b || '_' || (i - 1)), 1, 8))::BIGINT % 2 = 0
+                 THEN 1.0 ELSE -1.0 END)),
+          (acc, x) -> acc + x) AS t
+      FROM e CROSS JOIN bits
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN t > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS sig
+    FROM terms GROUP BY vec_id ORDER BY vec_id""",
+)
+def x5c_lsh_signature(spark, sf):
+    from hepcrawl_spark.operators.similarity import hyperplane_signature
+
+    return (
+        _emb(spark, sf)
+        .select(
+            "vec_id",
+            hyperplane_signature("embedding", dim=64, bits=6).cast("long").alias("sig"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @_q(
     "x5_cosine_topk",
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
