@@ -50,3 +50,58 @@ def test_streaming_dedup_drops_duplicates(spark, events_dir, tmp_path):
     # exact duplicates
     assert len(keys) == len(set(keys))
     assert len(rows) <= spark.read.parquet(events_dir).count()
+
+
+def test_streaming_host_budget_persists_across_batches(spark, tmp_path):
+    """The stateful per-host budget must carry over micro-batch boundaries:
+    a host that exhausts its budget in batch 1 admits nothing in batch 2."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hepcrawl_spark.streaming.politeness import streaming_host_budget
+
+    schema = StructType(
+        [StructField("host", StringType()), StructField("rid", LongType())]
+    )
+    src = tmp_path / "frontier_in"
+    src.mkdir()
+    # batch 1: hostA x5, hostB x2 ; batch 2: hostA x5, hostB x2
+    b1 = spark.createDataFrame(
+        [("hostA", i) for i in range(5)] + [("hostB", 100 + i) for i in range(2)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [("hostA", 10 + i) for i in range(5)] + [("hostB", 200 + i) for i in range(2)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    admitted = streaming_host_budget(stream, max_per_host=6)
+    name = "budget_sink"
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["rid"])
+    # hostA: 10 offered over 2+ batches, only 6 admitted in total
+    assert len(by_host["hostA"]) == 6
+    # hostB: 4 offered, all within budget
+    assert sorted(by_host["hostB"]) == [100, 101, 200, 201]
