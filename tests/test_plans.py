@@ -111,3 +111,42 @@ def test_crawl_order_is_a_total_order(spark):
     assert [r["dispatch_order"] for r in rows] == list(range(1, len(rows) + 1))
     keys = [(-r["priority"], r["discovered_ts"], r["url"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_archive_explode_is_narrow(spark):
+    """Member decode must not shuffle archive bytes (scan -> mapInPandas)."""
+    from hepcrawl_spark.plans import exchange_count
+    from hepcrawl_spark.sources.archives import explode_archive_members
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"x"))], "name string, payload binary"
+    )
+    q = explode_archive_members(df, fmt="zip", suffix=".xml")
+    assert exchange_count(q) == 0
+
+
+def test_document_patch_join_is_equi(spark):
+    """J4 joins on (record_id, basename) — never a cartesian product."""
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.operators.records import patch_document_urls
+    from hepcrawl_spark.plans import formatted_plan
+
+    records = spark.range(0, 10).select(
+        F.col("id").alias("record_id"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+                F.lit(None).cast("string").alias("old_url"),
+                F.lit(None).cast("string").alias("key"),
+            )
+        ).alias("documents"),
+    )
+    files = spark.range(0, 5).select(
+        F.col("id").alias("record_id"),
+        F.col("id").cast("string").alias("name"),
+        F.col("id").cast("string").alias("path"),
+    )
+    plan = formatted_plan(patch_document_urls(records, files))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
