@@ -205,22 +205,28 @@ def minhash_lsh_candidates(
 
     rows_per_band = num_hashes/bands; band key = md5 of the concatenated
     band slice. One shuffle on (band, key); pairs emerge from the per-bucket
-    self-join — never a global cross join."""
+    self-join — never a global cross join.
+
+    All band buckets come from ONE evaluation of the signature aggregation:
+    an array of (band, bucket) structs exploded to rows. A per-band
+    union would make Catalyst recompute the whole shingle -> signature
+    shuffle once per band (4x the dominant cost at bands=4)."""
     r = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+                )
+            ).alias("bucket"),
         )
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
