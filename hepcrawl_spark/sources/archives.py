@@ -144,14 +144,19 @@ def _pack_by_group(
                     zi.compress_type = zipfile.ZIP_DEFLATED
                     z.writestr(zi, content.encode("utf-8"))
         else:
-            # mtime=0 on both members and the gzip stream keeps bytes stable
-            with tarfile.open(fileobj=buf, mode="w:gz", compresslevel=6) as tar:
-                for name, content in zip(pdf[name_col], pdf[content_col]):
-                    data = content.encode("utf-8")
-                    ti = tarfile.TarInfo(name)
-                    ti.size = len(data)
-                    ti.mtime = 0
-                    tar.addfile(ti, io.BytesIO(data))
+            # mtime=0 on the members AND on the gzip stream header —
+            # "w:gz" alone stamps the gzip header with wall-clock time,
+            # which silently breaks byte-determinism across runs
+            import gzip
+
+            with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
+                with tarfile.open(fileobj=gz, mode="w") as tar:
+                    for name, content in zip(pdf[name_col], pdf[content_col]):
+                        data = content.encode("utf-8")
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(data)
+                        ti.mtime = 0
+                        tar.addfile(ti, io.BytesIO(data))
         return pd.DataFrame({group_col: [key[0]], "payload": [buf.getvalue()]})
 
     return grouped.groupBy(group_col).applyInPandas(build, out_schema)
