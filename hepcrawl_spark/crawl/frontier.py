@@ -359,13 +359,11 @@ def run_crawl(
         it_dir = f"{state_dir}/iter_{it:04d}"
         records = None
         if cfg.parse_mode == "stats":
-            records = fetched.select(
-                "url",
-                X.token_count_ws("text").alias("n_tokens"),
-                X.token_count_bpe_ish("text").alias("n_pieces"),
-                F.round(X.english_score("text"), 4).alias("en_score"),
-                X.fingerprint("text").alias("fingerprint"),
-            )
+            # fused single-Arrow-pass feature extraction — bit-equal to the
+            # individual column expressions (pinned by test) but the text
+            # crosses to the python worker ONCE instead of being re-scanned
+            # and re-allocated by several JVM regex expressions
+            records = X.record_features(fetched)
 
         links = extract_outlinks(fetched)
         new_frontier_rows = (

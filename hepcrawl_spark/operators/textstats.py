@@ -114,6 +114,81 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+RECORD_FEATURES_FIELDS = (
+    "n_tokens int, n_pieces long, en_score double, fingerprint string"
+)
+
+
+def record_features(
+    pages: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """All four per-page record features in ONE Arrow pass.
+
+    The column-expression forms (token_count_ws / token_count_bpe_ish /
+    english_score / fingerprint) each re-scan and re-allocate the ~1 KB
+    body JVM-side (plus one Arrow round-trip for the RE2 kernel); fused
+    here the text crosses to the python worker once and every feature is a
+    vectorized pyarrow kernel (lower/replace/trim/count) except the
+    fingerprint digest. Verified bit-equal to the column-expression path
+    (tests/test_dedup.py::test_record_features_fused_matches_columns).
+
+    RE2 has no lookahead, so stopword counting double-spaces the normalized
+    text first (' a b ' -> ' a  b '): every token then owns its flanking
+    spaces and one alternation count matches adjacent stopwords too.
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stop_alt = " (" + "|".join(EN_STOPWORDS) + ") "
+    out_schema = ", ".join(
+        f"{c} string" for c in keep_cols
+    ) + ", " + RECORD_FEATURES_FIELDS
+
+    def batches(it):
+        for pdf in it:
+            raw = pa.Array.from_pandas(pdf[text_col])
+            norm = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(pc.utf8_lower(raw), r"\s+", " ")
+            )
+            n_tokens = pc.add(pc.count_substring(norm, " "), 1)
+            n_pieces = pc.count_substring_regex(raw, _BPE_PATTERN)
+            # binary_join_element_wise treats the LAST arg as the separator:
+            # elements (" ", doubled, " ") joined by "" -> " doubled "
+            padded = pc.binary_join_element_wise(
+                " ", pc.replace_substring(norm, " ", "  "), " ", ""
+            )
+            hits = pc.count_substring_regex(padded, stop_alt)
+            # Spark's round() is HALF_UP; pyarrow defaults to half-to-even
+            en = pc.round(
+                pc.divide(
+                    pc.cast(hits, pa.float64()), pc.cast(n_tokens, pa.float64())
+                ),
+                ndigits=4,
+                round_mode="half_towards_infinity",
+            )
+            fp = [
+                hashlib.md5(
+                    " ".join(sorted(set(t.split(" ")))).encode("utf-8")
+                ).hexdigest()
+                for t in norm.to_pylist()
+            ]
+            out = {c: pdf[c] for c in keep_cols}
+            out.update(
+                {
+                    "n_tokens": n_tokens.to_pandas().astype("int32"),
+                    "n_pieces": n_pieces.to_pandas().astype("int64"),
+                    "en_score": en.to_pandas(),
+                    "fingerprint": fp,
+                }
+            )
+            yield pd.DataFrame(out)
+
+    cols = list(keep_cols) + [text_col]
+    return pages.select(*cols).mapInPandas(batches, out_schema)
+
+
 def fingerprint(text_col: str | Column = "text") -> Column:
     """Document fingerprint: md5 of the canonical token form (sorted distinct
     tokens) — robust to reordering/duplication, the batch analogue of a

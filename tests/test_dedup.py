@@ -131,3 +131,41 @@ def test_value_dict_shaping(spark):
         {"standard": "PACS", "classification_number": "a"},
         {"standard": "PACS", "classification_number": "b"},
     ]
+
+
+def test_record_features_fused_matches_columns(spark):
+    """The one-Arrow-pass record_features must be bit-equal to the
+    column-expression forms on real testdata (incl. empty/multispace
+    edges via the synthetic corpus)."""
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.operators import textstats as X
+    from hepcrawl_spark.sources.pages import synthesize_corpus
+    from tests.conftest import SF_MED
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    corp = synthesize_corpus(spark, n_pages=500, n_hosts=8, links_per_page=3).select(
+        "url", "text"
+    )
+    edge = spark.createDataFrame(
+        [("e1", ""), ("e2", "  the   of  "), ("e3", "of the"), ("e4", "x")],
+        "url string, text string",
+    )
+    for df in (docs, corp, edge):
+        want = {
+            r["url"]: (r["a"], r["b"], r["c"], r["d"])
+            for r in df.select(
+                "url",
+                X.token_count_ws("text").alias("a"),
+                X.token_count_bpe_ish("text").alias("b"),
+                F.round(X.english_score("text"), 4).alias("c"),
+                X.fingerprint("text").alias("d"),
+            ).collect()
+        }
+        got = {
+            r["url"]: (r["n_tokens"], r["n_pieces"], r["en_score"], r["fingerprint"])
+            for r in X.record_features(df).collect()
+        }
+        assert got == want
