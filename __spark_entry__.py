@@ -483,7 +483,9 @@ def s12_batch_feed(spark, sf):
 # Each record carries two documents; record_files exist for even doc_ids.
 # Matched docs repoint url at the fetched path (old_url <- previous url,
 # key <- basename); unmatched docs with a nonempty lookup restore
-# url <- old_url (including old_url = NULL, faithfully to the reference).
+# url <- old_url, EXCEPT a doc whose only url-ish field is `url` keeps it —
+# the reference raises KeyError on document['old_url'] there, so the
+# lossless analog is keep-the-url, never silently NULL (round-2 ADVICE).
 @_q(
     "j4_document_patch",
     """SELECT record_id, pos, url, old_url, doc_key FROM (
@@ -499,7 +501,9 @@ def s12_batch_feed(spark, sf):
         CASE WHEN doc_id % 2 = 0 THEN 'doc_' || doc_id || '.pdf' END AS doc_key
       FROM documents
       UNION ALL
-      SELECT doc_id, 1, NULL, NULL, 'k0' FROM documents
+      SELECT doc_id, 1,
+        'https://cdn.example.org/' || doc_id || '/other_' || doc_id || '.txt',
+        NULL, 'k0' FROM documents
     ) ORDER BY record_id, pos""",
 )
 def j4_document_patch(spark, sf):

@@ -43,10 +43,17 @@ from pyspark.sql import functions as F
 from ..operators import textstats as X
 from ..operators.bloom import (
     ShardedBloom,
+    bloom_merge_delta_cogroup,
+    bloom_probe_cogroup,
     build_bloom_sharded,
+    empty_bloom_shard_table,
     sharded_might_contain_udf,
 )
-from ..operators.cuckoo import build_cuckoo, cuckoo_might_contain_udf
+from ..operators.cuckoo import (
+    ShardedCuckoo,
+    build_cuckoo,
+    cuckoo_might_contain_udf,
+)
 from ..operators.dedup import crawl_once_gate
 from ..operators.politeness import robots_gate, select_wave
 
@@ -56,7 +63,16 @@ class CrawlConfig:
     max_iterations: int = 10
     max_per_host: int = 100          # politeness cap per host per wave
     salt: int = 4                    # hot-host salting factor
-    filter_mode: str = "bloom"       # 'bloom' | 'cuckoo' | 'none'
+    filter_mode: str = "bloom"       # 'bloom' (broadcast sharded filter,
+                                     # wave-hash deltas via the driver)
+                                     # | 'bloom_table' (filter lives as a
+                                     # (shard, bits) parquet table; probe +
+                                     # delta merge are cogroups — ZERO
+                                     # filter bytes on the driver, the
+                                     # 10^10-URL path)
+                                     # | 'cuckoo' (resident delete-capable
+                                     # filter, per-wave delta inserts)
+                                     # | 'none'
     parse_mode: str = "stats"        # 'stats' (per-page feature extraction
                                      # -> records snapshot) | 'none'
     bloom_fpp: float = 0.01
@@ -68,6 +84,21 @@ class CrawlConfig:
     detailed_stats: bool = False     # exact frontier/seen sizes per iteration
                                      # (2 extra jobs/iteration; loop control
                                      # only needs scheduled==0)
+    recrawl_cutoff: str | None = None  # ISO timestamp: url_seen entries with
+                                     # last_ts < cutoff are INVALIDATED at
+                                     # run start (removed from url_seen;
+                                     # cuckoo mode also deletes their
+                                     # fingerprints) so they re-crawl — the
+                                     # middlewares.py:134-155 newer-capture
+                                     # semantics as a periodic policy sweep
+    snapshot_every: int = 1          # durable parquet snapshot cadence; in
+                                     # between, state is localCheckpoint'ed
+                                     # (lineage truncated, NOT durable) and
+                                     # the manifest still points at the last
+                                     # durable iteration — resume replays
+                                     # from there. Raises steady throughput
+                                     # by removing 2 write+read job commits
+                                     # per non-snapshot iteration
 
 
 @dataclass
@@ -195,7 +226,27 @@ def run_crawl(
     # and at full scale the filter lives as a (shard, bits) parquet/Iceberg
     # table probed via bloom_probe_cogroup — zero driver state. In-sandbox
     # the driver keeps the (small) shard dict and broadcasts it.
+    # --- re-crawl policy sweep (reference middlewares.py:134-155: a newer
+    # capture invalidates the stored entry). Entries older than the cutoff
+    # leave url_seen — and, in cuckoo mode below, their fingerprints are
+    # DELETED from the resident filter (the delete capability that justifies
+    # cuckoo over bloom). O(|invalidated|) driver bytes, once per run.
+    invalidated_hashes = None
+    if cfg.recrawl_cutoff is not None and start_iter > 0:
+        cut = F.to_timestamp(F.lit(cfg.recrawl_cutoff))
+        invalidated_hashes = [
+            r["h"]
+            for r in url_seen.filter(F.col("last_ts") < cut)
+            .select(F.xxhash64("url").alias("h"))
+            .collect()
+        ]
+        url_seen = url_seen.filter(F.col("last_ts") >= cut)
+        seen_size = max(0, resumed_seen_size - len(invalidated_hashes))
+        resumed_seen_size = seen_size
+
     bf: ShardedBloom | None = None
+    bloom_tbl: DataFrame | None = None
+    ccf: ShardedCuckoo | None = None
     if cfg.filter_mode == "bloom":
         seen_now = url_seen if resume and start_iter > 0 else None
         if seen_now is not None:
@@ -209,6 +260,39 @@ def run_crawl(
             bf = ShardedBloom.sized_for(
                 cfg.n_expected_urls, cfg.bloom_fpp, cfg.bloom_shards
             )
+    elif cfg.filter_mode == "bloom_table":
+        # filter-as-table: resume from the manifest's bloom snapshot if
+        # present, else rebuild distributed from url_seen. The driver only
+        # ever plans these jobs — no bitmap/hash bytes cross to it.
+        m = read_manifest(state_dir) if resume else None
+        if m is not None and m.get("bloom") and os.path.exists(m["bloom"]):
+            bloom_tbl = spark.read.parquet(m["bloom"])
+        else:
+            bloom_tbl = empty_bloom_shard_table(
+                spark, cfg.n_expected_urls, cfg.bloom_fpp, cfg.bloom_shards
+            )
+            if resume and start_iter > 0:
+                bloom_tbl = bloom_merge_delta_cogroup(
+                    url_seen.select(F.xxhash64("url").alias("url_hash")),
+                    bloom_tbl,
+                    n_shards=cfg.bloom_shards,
+                )
+            bloom_tbl = _snapshot(bloom_tbl, f"{state_dir}/bloom_init")
+    elif cfg.filter_mode == "cuckoo":
+        # ONE resident filter for the whole run, sized for the expected
+        # total; every iteration applies the wave DELTA (insert_batch of
+        # new keys) instead of the round-2 full O(|seen|) rebuild.
+        if resume and start_iter > 0:
+            ccf = build_cuckoo(
+                url_seen.select(F.xxhash64("url").alias("url_hash")),
+                n_items=max(resumed_seen_size, cfg.n_expected_urls, 64),
+            )
+        else:
+            ccf = ShardedCuckoo.sized_for(max(cfg.n_expected_urls, 64))
+        if invalidated_hashes:
+            import numpy as np
+
+            ccf.delete_batch(np.array(invalidated_hashes, dtype=np.int64))
 
     def _metrics_and_bloom_delta(fetched: DataFrame):
         """ONE pass over the fetched wave yields per-partition metrics AND
@@ -345,6 +429,13 @@ def run_crawl(
                 },
             )
             wave_pre.unpersist()
+            # vacuum old snapshots here too: consecutive empty-fetch
+            # iterations (a long robots-blocked tail) would otherwise
+            # accumulate iter_NNNN dirs past keep_snapshots unbounded
+            # (round-2 ADVICE).
+            old = f"{state_dir}/iter_{it - cfg.keep_snapshots:04d}"
+            if it >= cfg.keep_snapshots and os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
             result.iterations.append(
                 IterationStats(it, 0, 0, 0, -1, seen_size, time.monotonic() - t0)
             )

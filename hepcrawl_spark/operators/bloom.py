@@ -293,6 +293,85 @@ def bloom_probe_cogroup(
     )
 
 
+def empty_bloom_shard_table(
+    spark: SparkSession,
+    n_items: int,
+    fpp: float = 0.01,
+    n_shards: int = 32,
+) -> DataFrame:
+    """An all-zero (shard, n_bits, k, bits) table, built DISTRIBUTED: one
+    task per shard emits its own zero bitmap — the driver never holds a
+    single bitmap byte. Pair with bloom_merge_delta_cogroup to build or
+    incrementally update the filter-as-table (the 10^10-URL state path)."""
+    proto = ShardedBloom.sized_for(n_items, fpp, n_shards)
+    n_bits = proto.shards[0].n_bits
+    k = proto.shards[0].k
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for s in pdf["id"]:
+                yield pd.DataFrame(
+                    {
+                        "shard": [int(s)],
+                        "n_bits": [n_bits],
+                        "k": [k],
+                        "bits": [bytes(n_bits // 8 + 1)],
+                    }
+                )
+
+    return (
+        spark.range(n_shards)
+        .repartition(min(n_shards, 32))
+        .mapInPandas(make, "shard int, n_bits long, k int, bits binary")
+    )
+
+
+def bloom_merge_delta_cogroup(
+    hashes: DataFrame,
+    shard_table: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 32,
+) -> DataFrame:
+    """OR a wave's url hashes into the shard bitmaps — entirely executor-
+    side. Cogroup on the shard key: each task gets one shard's delta hashes
+    plus that shard's current bitmap and emits the updated row; shards with
+    no delta pass through untouched. No filter bytes ever reach the driver —
+    this is the MERGE INTO bloom_state analog for the zero-driver
+    ``filter_mode='bloom_table'`` fixpoint."""
+    h = hashes.select(F.col(hash_col).cast("long")).withColumn(
+        "_shard", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+    )
+
+    def merge(key, h_pdf: pd.DataFrame, st_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(st_pdf):
+            # delta for a shard missing from the table: the table must be
+            # initialized with ALL shards (empty_bloom_shard_table) — a
+            # silently conjured empty bitmap here would hide sizing bugs
+            raise ValueError(f"bloom shard {key[0]} missing from shard table")
+        if not len(h_pdf):
+            return st_pdf[["shard", "n_bits", "k", "bits"]]
+        bf = BloomFilter(
+            int(st_pdf["n_bits"].iloc[0]),
+            int(st_pdf["k"].iloc[0]),
+            np.frombuffer(st_pdf["bits"].iloc[0], dtype=np.uint8).copy(),
+        )
+        bf.add(h_pdf[hash_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "shard": [int(st_pdf["shard"].iloc[0])],
+                "n_bits": [bf.n_bits],
+                "k": [bf.k],
+                "bits": [bf.bits.tobytes()],
+            }
+        )
+
+    return (
+        h.groupBy("_shard")
+        .cogroup(shard_table.groupBy("shard"))
+        .applyInPandas(merge, "shard int, n_bits long, k int, bits binary")
+    )
+
+
 def might_contain_udf(spark: SparkSession, bf: BloomFilter):
     """Broadcast the filter, return a vectorized might_contain column fn."""
     bcast = spark.sparkContext.broadcast((bf.n_bits, bf.k, bf.bits.tobytes()))

@@ -49,6 +49,13 @@ def patch_document_urls(
     record shape has exactly these three url-ish fields)."""
     docs = records.select(
         F.col(id_col).alias("_rid"), F.posexplode_outer(docs_col).alias("_pos", "_d")
+    ).filter(
+        # posexplode_outer emits one (null pos, null doc) row for an empty or
+        # null documents array; without this filter that row survives
+        # collect_list as a struct-of-nulls junk document (round-2 ADVICE).
+        # Filtered records fall out of `patched` and are coalesced back to
+        # their original documents value after the re-join below.
+        F.col("_pos").isNotNull()
     )
     lookup = F.coalesce(F.col("_d.old_url"), F.col("_d.url"), F.lit(""))
     docs = docs.withColumn("_base", _basename(lookup)).withColumn("_lookup", lookup)
@@ -73,8 +80,15 @@ def patch_document_urls(
     )
     matched = F.col("_f_path").isNotNull()
     new_doc = F.struct(
+        # unmatched truthy lookup restores the pre-pipeline url (old_url),
+        # but a doc that only ever had `url` must KEEP it — the reference
+        # raises KeyError on document['old_url'] there rather than nulling
+        # the only url (round-2 ADVICE: loud-or-keep, never silently None).
         F.when(matched, F.col("_f_path"))
-        .when(F.col("_lookup") != "", F.col("_d.old_url"))
+        .when(
+            F.col("_lookup") != "",
+            F.coalesce(F.col("_d.old_url"), F.col("_d.url")),
+        )
         .otherwise(F.col("_d.url"))
         .alias("url"),
         F.when(matched, F.col("_d.url")).otherwise(F.col("_d.old_url")).alias(
@@ -94,8 +108,13 @@ def patch_document_urls(
             ).alias(docs_col)
         )
     )
+    orig = f"_orig_{docs_col}"
     return (
-        records.drop(docs_col)
+        records.withColumnRenamed(docs_col, orig)
         .join(patched, records[id_col] == patched["_rid"], "left")
-        .drop("_rid")
+        # records whose documents array was empty/null produced no exploded
+        # rows: restore the original value unchanged (reference
+        # _get_updated_documents returns [] for [])
+        .withColumn(docs_col, F.coalesce(F.col(docs_col), F.col(orig)))
+        .drop("_rid", orig)
     )

@@ -63,7 +63,9 @@ def _bpe_count_arrow(s: pd.Series) -> pd.Series:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.Array.from_pandas(s)
+    # explicit string type: an all-null batch otherwise infers type `null`,
+    # for which the regex kernel has no implementation
+    arr = pa.Array.from_pandas(s, type=pa.string())
     return pc.count_substring_regex(arr, _BPE_PATTERN).to_pandas()
 
 
@@ -119,6 +121,58 @@ RECORD_FEATURES_FIELDS = (
 )
 
 
+def _batch_fingerprints(norm):
+    """md5 of the canonical token form (sorted distinct tokens) for a whole
+    Arrow batch — the vectorized twin of ``fingerprint()``.
+
+    Canonicalization is pure Arrow/numpy (split -> stable sort by
+    (row, token) -> adjacent-dedupe -> binary_join); only the md5 digest
+    itself runs per row (hashlib is a C call — the round-2 per-row
+    ``sorted(set(t.split()))`` Python loop is gone). UTF-8 byte order equals
+    code-point order, so Arrow's byte-wise string sort is bit-equal to
+    Python ``sorted()``. Null text -> null fingerprint (matches md5(NULL)),
+    instead of the AttributeError the round-2 ADVICE flagged.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(norm)
+    if n == 0:
+        return []
+    valid = np.asarray(pc.is_valid(norm))
+    lst = pc.split_pattern(pc.fill_null(norm, ""), " ")
+    flat = lst.flatten()
+    counts = np.diff(np.asarray(lst.offsets))
+    row_id = np.repeat(np.arange(n, dtype=np.int64), counts)
+    idx = np.asarray(
+        pc.sort_indices(
+            pa.table({"r": pa.array(row_id), "t": flat}),
+            sort_keys=[("r", "ascending"), ("t", "ascending")],
+        )
+    )
+    taken = flat.take(pa.array(idx))
+    rid_s = row_id[idx]
+    m = len(taken)
+    if m:
+        neq = np.asarray(pc.not_equal(taken.slice(1), taken.slice(0, m - 1)))
+        keep = np.r_[True, (rid_s[1:] != rid_s[:-1]) | neq]
+    else:
+        keep = np.zeros(0, dtype=bool)
+    kept = taken.filter(pa.array(keep))
+    new_counts = np.bincount(rid_s[keep], minlength=n)
+    new_offs = np.r_[0, np.cumsum(new_counts)]
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept), " "
+    )
+    return [
+        hashlib.md5(s.encode("utf-8")).hexdigest() if ok else None
+        for s, ok in zip(joined.to_pylist(), valid)
+    ]
+
+
 def record_features(
     pages: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ("url",)
 ) -> DataFrame:
@@ -148,7 +202,7 @@ def record_features(
 
     def batches(it):
         for pdf in it:
-            raw = pa.Array.from_pandas(pdf[text_col])
+            raw = pa.Array.from_pandas(pdf[text_col], type=pa.string())
             norm = pc.utf8_trim_whitespace(
                 pc.replace_substring_regex(pc.utf8_lower(raw), r"\s+", " ")
             )
@@ -168,17 +222,16 @@ def record_features(
                 ndigits=4,
                 round_mode="half_towards_infinity",
             )
-            fp = [
-                hashlib.md5(
-                    " ".join(sorted(set(t.split(" ")))).encode("utf-8")
-                ).hexdigest()
-                for t in norm.to_pylist()
-            ]
+            # Arrow kernels propagate null text -> null stats; the fingerprint
+            # must match (md5(NULL) -> NULL), not raise on t=None (round-2
+            # ADVICE: one null page body aborted the whole task). Sorted
+            # distinct tokens via numpy per batch — no per-row Python loop.
+            fp = _batch_fingerprints(norm)
             out = {c: pdf[c] for c in keep_cols}
             out.update(
                 {
-                    "n_tokens": n_tokens.to_pandas().astype("int32"),
-                    "n_pieces": n_pieces.to_pandas().astype("int64"),
+                    "n_tokens": n_tokens.to_pandas().astype("Int32"),
+                    "n_pieces": n_pieces.to_pandas().astype("Int64"),
                     "en_score": en.to_pandas(),
                     "fingerprint": fp,
                 }
@@ -193,5 +246,8 @@ def fingerprint(text_col: str | Column = "text") -> Column:
     """Document fingerprint: md5 of the canonical token form (sorted distinct
     tokens) — robust to reordering/duplication, the batch analogue of a
     rolling-hash fingerprint, and exactly reproducible in SQL."""
-    toks = F.array_sort(F.array_distinct(F.split(normalize_text(text_col), " ")))
-    return F.md5(F.concat_ws(" ", toks))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_sort(F.array_distinct(F.split(normalize_text(c), " ")))
+    # concat_ws maps null -> "" silently; null text must stay null (matches
+    # the fused record_features pass and plain SQL md5(NULL) semantics)
+    return F.when(c.isNull(), F.lit(None)).otherwise(F.md5(F.concat_ws(" ", toks)))

@@ -411,14 +411,18 @@ def hep_to_hep(hep_record: dict, record_files: list[dict]) -> dict:
     new_docs = []
     for doc in hep_record.get("documents", []):
         doc = dict(doc)
-        url = doc.get("old_url", doc.get("url", ""))
+        url = doc.get("old_url") or doc.get("url") or ""
         base = url.rsplit("/", 1)[-1] if url else ""
         if url and base in index:
             doc["old_url"] = doc.get("url")
             doc["url"] = index[base]
             doc.setdefault("key", base)
         elif url:
-            doc["url"] = doc.get("old_url")
+            # unmatched: restore the pre-pipeline url, but NEVER null a doc
+            # that only ever had `url` (the reference raises KeyError on
+            # document['old_url'] there; keep-the-url is the lossless analog
+            # — round-2 ADVICE).
+            doc["url"] = doc.get("old_url") or doc.get("url")
         new_docs.append(doc)
     hep_record["documents"] = new_docs
     return hep_record

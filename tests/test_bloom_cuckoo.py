@@ -82,6 +82,27 @@ def test_cuckoo_insert_batch_matches_per_key():
     assert (a.might_contain(probes) == b.might_contain(probes)).mean() > 0.99
 
 
+def test_cuckoo_insert_batch_after_deletes_no_false_negatives():
+    """delete() leaves holes mid-bucket, so insert_batch must target the
+    bucket's ACTUAL free slots — the round-2 ADVICE repro (fill-count
+    slotting silently overwrote live trailing fingerprints: 211/9500 false
+    negatives)."""
+    import numpy as np
+
+    from hepcrawl_spark.operators.cuckoo import CuckooFilter
+
+    cf = CuckooFilter.sized_for(25000)
+    keys1 = np.arange(1, 10001, dtype=np.uint64) * np.uint64(1000003)
+    assert cf.insert_batch(keys1) == 0
+    for k in keys1[:500]:
+        assert cf.delete(int(k))
+    keys2 = np.arange(20001, 30001, dtype=np.uint64) * np.uint64(1000003)
+    assert cf.insert_batch(keys2) == 0
+    survivors = keys1[500:]
+    assert cf.might_contain(survivors).all()
+    assert cf.might_contain(keys2).all()
+
+
 def test_cuckoo_overflow_is_loud(spark):
     import pyspark.sql.functions as F
 

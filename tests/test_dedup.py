@@ -150,7 +150,15 @@ def test_record_features_fused_matches_columns(spark):
         "url", "text"
     )
     edge = spark.createDataFrame(
-        [("e1", ""), ("e2", "  the   of  "), ("e3", "of the"), ("e4", "x")],
+        [
+            ("e1", ""),
+            ("e2", "  the   of  "),
+            ("e3", "of the"),
+            ("e4", "x"),
+            # null body must propagate (null stats, null fingerprint) — a
+            # round-2 ADVICE repro aborted the whole task on t=None
+            ("e5", None),
+        ],
         "url string, text string",
     )
     for df in (docs, corp, edge):

@@ -80,7 +80,8 @@ def test_patch_document_urls_reference_semantics(spark):
             (1, [{"url": "https://cdn/1/a.pdf", "old_url": "https://pub/1/a.pdf", "key": None}]),
             # lookup nonempty, no file -> url restored to old_url
             (2, [{"url": "https://cdn/2/b.pdf", "old_url": "https://pub/2/b.pdf", "key": "kk"}]),
-            # old_url NULL -> lookup falls back to url; no match -> url <- old_url (NULL)
+            # old_url NULL -> lookup falls back to url; no match -> url KEPT
+            # (never silently nulled; reference raises on missing old_url)
             (3, [{"url": "https://cdn/3/c.txt", "old_url": None, "key": "k3"}]),
             # existing key preserved on match
             (4, [{"url": "https://cdn/4/d.pdf", "old_url": "https://pub/4/d.pdf", "key": "keep"}]),
@@ -97,8 +98,29 @@ def test_patch_document_urls_reference_semantics(spark):
     }
     assert got[1] == {"url": "s3://store/a.pdf", "old_url": "https://cdn/1/a.pdf", "key": "a.pdf"}
     assert got[2] == {"url": "https://pub/2/b.pdf", "old_url": "https://pub/2/b.pdf", "key": "kk"}
-    assert got[3] == {"url": None, "old_url": None, "key": "k3"}
+    assert got[3] == {"url": "https://cdn/3/c.txt", "old_url": None, "key": "k3"}
     assert got[4] == {"url": "s3://store/d.pdf", "old_url": "https://cdn/4/d.pdf", "key": "keep"}
+
+
+def test_patch_empty_and_null_documents_unchanged(spark):
+    """posexplode_outer's (null,null) row must not become a junk
+    struct-of-nulls document: [] stays [], NULL stays NULL (round-2
+    ADVICE repro)."""
+    records = spark.createDataFrame(
+        [
+            (1, []),
+            (2, None),
+            (3, [{"url": "https://cdn/3/e.pdf", "old_url": "https://pub/3/e.pdf", "key": None}]),
+        ],
+        "record_id int, documents array<struct<url string, old_url string, key string>>",
+    )
+    files = spark.createDataFrame(
+        [(3, "e.pdf", "s3://s/e.pdf")], "record_id int, name string, path string"
+    )
+    got = {r["record_id"]: r["documents"] for r in patch_document_urls(records, files).collect()}
+    assert got[1] == []
+    assert got[2] is None
+    assert got[3][0]["url"] == "s3://s/e.pdf"
 
 
 def test_patch_preserves_document_order(spark):

@@ -100,6 +100,18 @@ def test_hep_to_hep_documents_patch_matches_j4_semantics():
     assert out["documents"][1]["url"] == "https://orig/miss.pdf"
     # no files -> untouched
     assert hep_to_hep({"documents": [{"url": "u"}]}, []) == {"documents": [{"url": "u"}]}
+    # unmatched doc with url but NO old_url keeps its url (never nulled)
+    out2 = hep_to_hep(
+        {"documents": [{"url": "https://pub/only.pdf"}]},
+        [{"name": "other.pdf", "path": "/store/other.pdf"}],
+    )
+    assert out2["documents"][0]["url"] == "https://pub/only.pdf"
+    # old_url key present but None behaves the same as absent
+    out3 = hep_to_hep(
+        {"documents": [{"url": "https://pub/o2.pdf", "old_url": None}]},
+        [{"name": "other.pdf", "path": "/store/other.pdf"}],
+    )
+    assert out3["documents"][0]["url"] == "https://pub/o2.pdf"
 
 
 def test_tohep_normalize_pages_spark_surface(spark):
