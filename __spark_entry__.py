@@ -210,6 +210,48 @@ def d1c_crawl_once_cuckoo(spark, sf):
     return gated.select("url", "doc_id").orderBy("doc_id")
 
 
+# -- D1d: cuckoo DELETE lifecycle (middlewares.py:134-155) --------------------
+# The delete-capable store: entries invalidated by the newer-capture policy
+# (here: doc_id % 12 == 6, urls whose stored ts is newer and would stay
+# blocked forever) are DELETED from the resident filter and removed from
+# url_seen — those urls must re-enter the crawlable set. The oracle models
+# the deletion as excluding the invalidated rows from the seen join.
+@_q(
+    "d1d_crawl_once_cuckoo_delete",
+    f"""{_CTE_PREFIX}
+    SELECT f.url, f.doc_id
+    FROM frontier f
+    LEFT JOIN url_seen s ON f.url = s.url AND f.doc_id % 12 <> 6
+    WHERE s.url IS NULL OR f.discovered_ts > s.last_ts
+    ORDER BY f.doc_id""",
+)
+def d1d_crawl_once_cuckoo_delete(spark, sf):
+    import numpy as np
+
+    from hepcrawl_spark.operators.cuckoo import build_cuckoo, cuckoo_might_contain_udf
+
+    fr = _frontier(spark, sf)
+    seen = _seen(spark, sf)
+    cf = build_cuckoo(seen.select(F.xxhash64("url").alias("url_hash")), n_shards=8)
+    # invalidation delta: O(|invalidated|), never a rebuild
+    inval_urls = _pages(spark, sf).filter((F.col("doc_id") % 12) == 6).select("url")
+    inval = np.array(
+        [r["h"] for r in inval_urls.select(F.xxhash64("url").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    cf.delete_batch(inval)
+    valid_seen = seen.join(inval_urls, "url", "left_anti")
+    probe = cuckoo_might_contain_udf(spark, cf)
+    gated = D.crawl_once_gate(
+        fr.withColumn("warc_ts", F.col("discovered_ts")).withColumn(
+            "_maybe", probe(F.xxhash64("url"))
+        ),
+        valid_seen,
+        might_be_seen=F.col("_maybe"),
+    )
+    return gated.select("url", "doc_id").orderBy("doc_id")
+
+
 # -- D2: deterministic identifier dedup --------------------------------------
 @_q(
     "d2_identifier_dedup",

@@ -162,6 +162,16 @@ def _write_manifest(state_dir: str, iteration: int, extra: dict | None = None) -
     os.replace(tmp, os.path.join(state_dir, "manifest.json"))  # atomic commit
 
 
+def _vacuum_snapshots(state_dir: str, keep: int) -> None:
+    """Remove all but the newest ``keep`` iter_NNNN snapshot dirs. Called
+    only after a durable manifest commit, so the manifest target (the newest
+    dir) always survives — index arithmetic would delete the resume point
+    when snapshot_every skips iterations."""
+    dirs = sorted(d for d in os.listdir(state_dir) if d.startswith("iter_"))
+    for d in dirs[: max(0, len(dirs) - keep)]:
+        shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
 def read_manifest(state_dir: str) -> dict | None:
     p = os.path.join(state_dir, "manifest.json")
     if not os.path.exists(p):
@@ -294,18 +304,20 @@ def run_crawl(
 
             ccf.delete_batch(np.array(invalidated_hashes, dtype=np.int64))
 
-    def _metrics_and_bloom_delta(fetched: DataFrame):
+    def _metrics_and_filter_delta(fetched: DataFrame):
         """ONE pass over the fetched wave yields per-partition metrics AND
-        (bloom mode) the wave's url hashes for the filter's delta update —
-        instead of two separate jobs. Driver receives (partition_id, count,
-        hash-bytes) rows: delta bytes are proportional to the WAVE (8 bytes
-        per fetched url), never to the filter size — the round-1 design
-        shipped one full-size bitmap per partition per iteration."""
+        (broadcast bloom / resident cuckoo modes) the wave's url hashes for
+        the filter's delta update — instead of two separate jobs. Driver
+        receives (partition_id, count, hash-bytes) rows: delta bytes are
+        proportional to the WAVE (8 bytes per fetched url), never to the
+        filter size. In 'bloom_table' mode NO hashes are collected at all —
+        the delta merges executor-side via bloom_merge_delta_cogroup (the
+        zero-driver 10^10-URL path)."""
         import numpy as np
         import pandas as pd
         from pyspark import TaskContext
 
-        with_bloom = bf is not None
+        with_delta = bf is not None or ccf is not None
 
         def per_partition(batches):
             pid = TaskContext.get().partitionId()
@@ -314,10 +326,10 @@ def run_crawl(
             for pdf in batches:
                 if len(pdf):
                     n += len(pdf)
-                    if with_bloom:
+                    if with_delta:
                         chunks.append(pdf.iloc[:, 0].to_numpy(dtype=np.int64))
             if n:
-                blob = np.concatenate(chunks).tobytes() if with_bloom else b""
+                blob = np.concatenate(chunks).tobytes() if with_delta else b""
                 yield pd.DataFrame(
                     {"partition_id": [pid], "n": [n], "hashes": [blob]}
                 )
@@ -327,11 +339,32 @@ def run_crawl(
             .mapInPandas(per_partition, "partition_id int, n long, hashes binary")
             .collect()
         )
-        if with_bloom:
+        if with_delta:
             import numpy as np
 
-            for r in rows:
-                bf.add(np.frombuffer(r["hashes"], dtype=np.int64))
+            h = (
+                np.concatenate(
+                    [np.frombuffer(r["hashes"], dtype=np.int64) for r in rows]
+                )
+                if rows
+                else np.zeros(0, dtype=np.int64)
+            )
+            if bf is not None:
+                bf.add(h)
+            elif ccf is not None and len(h):
+                # delta insert: only keys the filter doesn't already claim.
+                # might_contain is deterministic per key, so skipping a
+                # "present" key (true hit OR fp collision) can never turn
+                # into a later false negative; re-crawled urls stay covered
+                # by their existing fingerprint (the reference's replace =
+                # delete+insert of the same key is a membership no-op).
+                fresh = ~ccf.might_contain(h.astype(np.uint64))
+                failed = ccf.insert_batch(h[fresh])
+                if failed:
+                    raise ValueError(
+                        f"resident cuckoo overflow: {failed} delta inserts "
+                        f"failed at iteration — raise n_expected_urls"
+                    )
         return [(r["partition_id"], r["n"]) for r in rows]
 
     result = CrawlResult()
@@ -367,12 +400,26 @@ def run_crawl(
             gated = crawl_once_gate(
                 wave_probed, url_seen, might_be_seen=F.col("_maybe")
             ).drop("_maybe", "warc_ts")
+        elif cfg.filter_mode == "bloom_table" and use_filter:
+            # zero-driver probe: cogroup the wave with the shard table on
+            # the shard key — one shuffle, no broadcast, no filter bytes on
+            # the driver (this is the path a 10^10-URL filter must take:
+            # ~12 GB of bitmaps can live only as a table).
+            wave_probed = bloom_probe_cogroup(
+                wave.withColumn("warc_ts", F.col("discovered_ts")).withColumn(
+                    "url_hash", F.xxhash64("url")
+                ),
+                bloom_tbl,
+                n_shards=cfg.bloom_shards,
+            ).persist()
+            gated = crawl_once_gate(
+                wave_probed, url_seen, might_be_seen=F.col("_maybe")
+            ).drop("_maybe", "warc_ts", "url_hash")
         elif cfg.filter_mode == "cuckoo" and use_filter:
-            cf = build_cuckoo(
-                url_seen.select(F.xxhash64("url").alias("url_hash")),
-                n_items=max(seen_size, 64),
-            )
-            probe = cuckoo_might_contain_udf(spark, cf)
+            # resident filter probe — ccf was built ONCE (empty or from the
+            # resume snapshot) and is delta-updated per wave; the round-2
+            # O(|seen|) per-iteration rebuild is gone.
+            probe = cuckoo_might_contain_udf(spark, ccf)
             wave_probed = (
                 wave.withColumn("warc_ts", F.col("discovered_ts"))
                 .withColumn("_maybe", probe(F.xxhash64("url")))
@@ -393,7 +440,7 @@ def run_crawl(
 
         # one action yields per-partition metrics (A2/north rule), the fetched
         # count, and the bloom delta bitmaps — fused into a single pass
-        part_metrics = _metrics_and_bloom_delta(fetched)
+        part_metrics = _metrics_and_filter_delta(fetched)
         fetched_n = sum(n for _, n in part_metrics)
         # exact scheduled count costs one more plan+job per iteration; in
         # fast mode approximate it by fetched (equal whenever every gated
@@ -419,23 +466,23 @@ def run_crawl(
                 f"{it_dir}/frontier",
             )
             url_seen = _snapshot(url_seen, f"{it_dir}/url_seen")
-            _write_manifest(
-                state_dir,
-                it,
-                {
-                    "frontier": f"{it_dir}/frontier",
-                    "url_seen": f"{it_dir}/url_seen",
-                    "seen_size": seen_size,
-                },
-            )
+            extra = {
+                "frontier": f"{it_dir}/frontier",
+                "url_seen": f"{it_dir}/url_seen",
+                "seen_size": seen_size,
+            }
+            if bloom_tbl is not None:
+                # state unchanged this iteration, but the snapshot must move
+                # with the manifest or the vacuum strands it
+                bloom_tbl = _snapshot(bloom_tbl, f"{it_dir}/bloom")
+                extra["bloom"] = f"{it_dir}/bloom"
+            _write_manifest(state_dir, it, extra)
             wave_pre.unpersist()
             # vacuum old snapshots here too: consecutive empty-fetch
             # iterations (a long robots-blocked tail) would otherwise
             # accumulate iter_NNNN dirs past keep_snapshots unbounded
             # (round-2 ADVICE).
-            old = f"{state_dir}/iter_{it - cfg.keep_snapshots:04d}"
-            if it >= cfg.keep_snapshots and os.path.exists(old):
-                shutil.rmtree(old, ignore_errors=True)
+            _vacuum_snapshots(state_dir, cfg.keep_snapshots)
             result.iterations.append(
                 IterationStats(it, 0, 0, 0, -1, seen_size, time.monotonic() - t0)
             )
@@ -484,21 +531,63 @@ def run_crawl(
             candidates.select("url", "host", "priority", "discovered_ts", "attempt")
         )
 
-        # 7. snapshot (data first, manifest last = atomic commit). The three
-        # writes (records sink, frontier snapshot, url_seen snapshot) are
+        # bloom_table delta: OR the wave's hashes into the shard bitmaps —
+        # a cogroup job, still zero filter bytes on the driver
+        new_bloom = None
+        if bloom_tbl is not None:
+            new_bloom = bloom_merge_delta_cogroup(
+                fetched.select(F.xxhash64("url").alias("url_hash")),
+                bloom_tbl,
+                n_shards=cfg.bloom_shards,
+            )
+
+        # 7. snapshot (data first, manifest last = atomic commit). The
+        # writes (records sink, frontier/url_seen/bloom state) are
         # INDEPENDENT jobs over the already-cached `fetched` + the previous
         # parquet state, so they are submitted concurrently from driver
         # threads — the Spark scheduler interleaves them across the executor
-        # pool. This removes two of the per-iteration serial job-commit
-        # latencies that dominated the round-1 fixed cost (~8-9 s/iteration
-        # of planning + commit measured in BENCH/BASELINE.md).
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = {
-                "frontier": pool.submit(
-                    _snapshot, next_frontier, f"{it_dir}/frontier"
-                ),
-                "url_seen": pool.submit(_snapshot, new_seen, f"{it_dir}/url_seen"),
-            }
+        # pool. This removes per-iteration serial job-commit latencies that
+        # dominated the round-1 fixed cost (~8-9 s/iteration of planning +
+        # commit measured in BENCH/BASELINE.md).
+        #
+        # With snapshot_every=K only every K-th iteration is DURABLE
+        # (parquet + manifest); in between, state is localCheckpoint'ed —
+        # lineage still truncates (mandatory in any DataFrame fixpoint) but
+        # the two write+read job commits are skipped. Resume replays from
+        # the last durable manifest. At 100 TB durable = Iceberg snapshot
+        # commit and K trades recovery replay depth against commit latency.
+        durable = (
+            cfg.snapshot_every <= 1
+            or (it + 1) % cfg.snapshot_every == 0
+            or it == cfg.max_iterations - 1  # final iteration always commits
+        )
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            if durable:
+                futs = {
+                    "frontier": pool.submit(
+                        _snapshot, next_frontier, f"{it_dir}/frontier"
+                    ),
+                    "url_seen": pool.submit(
+                        _snapshot, new_seen, f"{it_dir}/url_seen"
+                    ),
+                }
+                if new_bloom is not None:
+                    futs["bloom"] = pool.submit(
+                        _snapshot, new_bloom, f"{it_dir}/bloom"
+                    )
+            else:
+                futs = {
+                    "frontier": pool.submit(
+                        lambda df=next_frontier: df.localCheckpoint(eager=True)
+                    ),
+                    "url_seen": pool.submit(
+                        lambda df=new_seen: df.localCheckpoint(eager=True)
+                    ),
+                }
+                if new_bloom is not None:
+                    futs["bloom"] = pool.submit(
+                        lambda df=new_bloom: df.localCheckpoint(eager=True)
+                    )
             if records is not None:
                 futs["records"] = pool.submit(
                     lambda: records.write.mode("overwrite").parquet(
@@ -507,6 +596,8 @@ def run_crawl(
                 )
             next_frontier = futs["frontier"].result()
             new_seen = futs["url_seen"].result()
+            if "bloom" in futs:
+                bloom_tbl = futs["bloom"].result()
             if "records" in futs:
                 futs["records"].result()
         if cfg.detailed_stats:
@@ -516,15 +607,15 @@ def run_crawl(
             new_frontier_size = -1
             seen_size += fetched_n  # upper bound (exact when urls are unique)
 
-        _write_manifest(
-            state_dir,
-            it,
-            {
+        if durable:
+            manifest_extra = {
                 "frontier": f"{it_dir}/frontier",
                 "url_seen": f"{it_dir}/url_seen",
                 "seen_size": seen_size,
-            },
-        )
+            }
+            if new_bloom is not None:
+                manifest_extra["bloom"] = f"{it_dir}/bloom"
+            _write_manifest(state_dir, it, manifest_extra)
 
         gated.unpersist()
         fetched.unpersist()
@@ -533,9 +624,8 @@ def run_crawl(
             wave_probed.unpersist()
         frontier, url_seen = next_frontier, new_seen
 
-        old = f"{state_dir}/iter_{it - cfg.keep_snapshots:04d}"
-        if it >= cfg.keep_snapshots and os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        if durable:
+            _vacuum_snapshots(state_dir, cfg.keep_snapshots)
 
         result.iterations.append(
             IterationStats(

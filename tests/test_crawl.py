@@ -64,16 +64,144 @@ def test_filter_modes_equivalent(spark, corpus, seeds, tmp_path):
     """bloom- and cuckoo-accelerated gates must not change the crawl result."""
     seen = {}
     scheds = {}
-    for mode in ("none", "bloom", "cuckoo"):
+    for mode in ("none", "bloom", "bloom_table", "cuckoo"):
         sd = str(tmp_path / f"m_{mode}")
         res = run_crawl(
             spark, corpus, seeds,
-            CrawlConfig(max_iterations=3, max_per_host=15, salt=1, filter_mode=mode, state_dir=sd),
+            CrawlConfig(max_iterations=3, max_per_host=15, salt=1, filter_mode=mode,
+                        state_dir=sd, n_expected_urls=5000),
         )
         seen[mode] = _final_seen(spark, sd)
         scheds[mode] = [i.scheduled for i in res.iterations]
-    assert seen["none"] == seen["bloom"] == seen["cuckoo"]
-    assert scheds["none"] == scheds["bloom"] == scheds["cuckoo"]
+    assert seen["none"] == seen["bloom"] == seen["bloom_table"] == seen["cuckoo"]
+    assert scheds["none"] == scheds["bloom"] == scheds["bloom_table"] == scheds["cuckoo"]
+
+
+def test_bloom_table_mode_keeps_filter_off_the_driver(spark, corpus, seeds, tmp_path, monkeypatch):
+    """filter_mode='bloom_table': probe and delta-merge are cogroups — the
+    DRIVER must never touch a bitmap or a hash blob. Driver-side filter
+    entry points are patched to raise; executor-side workers re-import the
+    module fresh, so the patch only guards the driver process."""
+    import hepcrawl_spark.crawl.frontier as FR
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side filter state touched in bloom_table mode")
+
+    monkeypatch.setattr(FR, "build_bloom_sharded", _boom)
+    monkeypatch.setattr(FR, "sharded_might_contain_udf", _boom)
+    monkeypatch.setattr(FR, "build_cuckoo", _boom)
+    monkeypatch.setattr(FR.ShardedBloom, "add", _boom)
+    monkeypatch.setattr(FR.ShardedBloom, "might_contain", _boom)
+    sd = str(tmp_path / "bt")
+    res = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=3, max_per_host=15, salt=1,
+                    filter_mode="bloom_table", state_dir=sd, n_expected_urls=5000),
+    )
+    assert res.total_fetched > 0
+    # resume also comes from the bloom parquet snapshot, not a driver build
+    res2 = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=4, max_per_host=15, salt=1,
+                    filter_mode="bloom_table", state_dir=sd, n_expected_urls=5000),
+        resume=True,
+    )
+    assert len(res2.iterations) >= 1
+
+
+def test_cuckoo_resident_delta_no_per_iteration_rebuild(spark, corpus, seeds, tmp_path, monkeypatch):
+    """The cuckoo filter must be built at most once (resume) and then
+    delta-updated; the round-2 O(|seen|) rebuild per iteration is a scale
+    regression the loop must not reintroduce."""
+    import hepcrawl_spark.crawl.frontier as FR
+
+    calls = []
+    real = FR.build_cuckoo
+    monkeypatch.setattr(
+        FR, "build_cuckoo", lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    )
+    sd = str(tmp_path / "ck")
+    run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=3, max_per_host=15, salt=1, filter_mode="cuckoo",
+                    state_dir=sd, n_expected_urls=5000),
+    )
+    assert calls == []  # fresh run: empty sized filter + per-wave inserts
+    run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=5, max_per_host=15, salt=1, filter_mode="cuckoo",
+                    state_dir=sd, n_expected_urls=5000),
+        resume=True,
+    )
+    assert len(calls) == 1  # resume: ONE rebuild from url_seen, then deltas
+
+
+def test_recrawl_cutoff_invalidates_and_refetches(spark, corpus, tmp_path):
+    """reference middlewares.py:134-155: an entry whose stored timestamp is
+    older than the new capture must be re-crawled. A frontier of already-
+    seen urls with OLD discovered_ts is blocked by the gate; setting
+    recrawl_cutoff invalidates those url_seen entries (cuckoo mode DELETES
+    their fingerprints from the resident filter) and the urls re-fetch."""
+    from hepcrawl_spark.crawl.frontier import _write_manifest
+
+    sd = str(tmp_path / "inv")
+    seeds10 = corpus.orderBy("page_id").limit(10).select(
+        "url", "host", F.lit(1.0).alias("priority"),
+        F.col("warc_ts").alias("discovered_ts"),
+    )
+    run_crawl(
+        spark, corpus, seeds10,
+        CrawlConfig(max_iterations=2, max_per_host=15, salt=1, filter_mode="cuckoo",
+                    state_dir=sd, n_expected_urls=5000),
+    )
+    from hepcrawl_spark.crawl.frontier import read_manifest
+
+    m = read_manifest(sd)
+    url_seen = spark.read.parquet(m["url_seen"])
+    n_seen = url_seen.count()
+    # craft a resume state whose frontier re-offers ALREADY-SEEN urls with
+    # discovered_ts strictly OLDER than their stored last_ts
+    refeed = url_seen.select(
+        "url",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.lit(1.0).alias("priority"),
+        (F.col("last_ts") - F.expr("INTERVAL 1 DAY")).alias("discovered_ts"),
+        F.lit(0).alias("attempt"),
+    )
+    it_dir = f"{sd}/iter_{m['iteration']:04d}"
+    refeed.write.mode("overwrite").parquet(f"{it_dir}/frontier")
+    _write_manifest(sd, m["iteration"], {
+        "frontier": f"{it_dir}/frontier",
+        "url_seen": m["url_seen"],
+        "seen_size": n_seen,
+    })
+
+    # without invalidation: every wave row is seen with an older capture ->
+    # gate blocks all, nothing fetched
+    res_blocked = run_crawl(
+        spark, corpus, seeds10,
+        CrawlConfig(max_iterations=m["iteration"] + 2, max_per_host=1000, salt=1,
+                    filter_mode="cuckoo", state_dir=sd, n_expected_urls=5000),
+        resume=True,
+    )
+    assert sum(i.fetched for i in res_blocked.iterations) == 0
+
+    # with a cutoff past every last_ts: entries invalidate (cuckoo deletes),
+    # and the same urls re-fetch
+    refeed.write.mode("overwrite").parquet(f"{it_dir}/frontier")
+    _write_manifest(sd, m["iteration"], {
+        "frontier": f"{it_dir}/frontier",
+        "url_seen": m["url_seen"],
+        "seen_size": n_seen,
+    })
+    res_inval = run_crawl(
+        spark, corpus, seeds10,
+        CrawlConfig(max_iterations=m["iteration"] + 2, max_per_host=1000, salt=1,
+                    filter_mode="cuckoo", state_dir=sd, n_expected_urls=5000,
+                    recrawl_cutoff="2100-01-01 00:00:00"),
+        resume=True,
+    )
+    assert res_inval.iterations[0].fetched == n_seen
 
 
 def test_resume_equals_straight_run(spark, corpus, seeds, tmp_path):
