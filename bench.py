@@ -134,6 +134,45 @@ def main() -> None:
         lambda: D.ngram_jaccard_pairs(skew_docs, threshold=0.5, max_shingle_df=8).count(),
     )
 
+    # -- ANN quality: recall@5 of the scale paths vs the exact baseline ------
+    # (round-2 verdict: lsh_topk had no correctness signal beyond compiling)
+    from hepcrawl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    qset = emb.filter("vec_id < 32")
+
+    def _pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    # The synthetic embeddings are ISOTROPIC (exact-top-5 label purity ~= 9%
+    # = chance), so recall at any scan budget is bounded: a random scan of
+    # fraction f of the corpus expects recall f. The honest ANN metric here
+    # is therefore recall AND expected scan fraction AND their ratio (the
+    # selectivity lift). Target (BENCH/BASELINE.md): lsh_recall_at_5 >= 0.5
+    # with lift >= 1.5. IVF probes label cells, which carry no cosine signal
+    # on this corpus — its recall ~= scan fraction (lift ~1) by construction;
+    # it is benched as the infrastructure path for genuinely clustered data.
+    lsh_bits, lsh_tables, ivf_probe, ivf_cells = 4, 6, 4, 10
+    exact = _pairs(timed("ann_exact_topk", lambda: SIM.cosine_topk(emb, qset, k=5)))
+    lsh = _pairs(
+        timed(
+            "ann_lsh_topk",
+            lambda: SIM.lsh_topk(emb, qset, k=5, bits=lsh_bits, tables=lsh_tables),
+        )
+    )
+    ivf = _pairs(
+        timed("ann_ivf_topk", lambda: SIM.ivf_topk(emb, qset, k=5, nprobe=ivf_probe))
+    )
+    lsh_scan = 1.0 - (1.0 - 2.0**-lsh_bits) ** lsh_tables
+    ivf_scan = ivf_probe / ivf_cells
+    extras["lsh_recall_at_5"] = round(len(lsh & exact) / max(1, len(exact)), 4)
+    extras["ivf_recall_at_5"] = round(len(ivf & exact) / max(1, len(exact)), 4)
+    extras["lsh_scan_frac"] = round(lsh_scan, 4)
+    extras["ivf_scan_frac"] = round(ivf_scan, 4)
+    extras["lsh_selectivity_lift"] = round(extras["lsh_recall_at_5"] / lsh_scan, 2)
+    emb.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

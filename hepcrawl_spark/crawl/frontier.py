@@ -84,6 +84,11 @@ class CrawlConfig:
     detailed_stats: bool = False     # exact frontier/seen sizes per iteration
                                      # (2 extra jobs/iteration; loop control
                                      # only needs scheduled==0)
+    link_meta: dict | None = None    # {key: Column over the fetched parent
+                                     # row} merged into every outlink's
+                                     # inherited meta map (reference
+                                     # Request.meta threading —
+                                     # pos_spider.py:118-126)
     recrawl_cutoff: str | None = None  # ISO timestamp: url_seen entries with
                                      # last_ts < cutoff are INVALIDATED at
                                      # run start (removed from url_seen;
@@ -132,12 +137,45 @@ class CrawlResult:
 _LINK_RE = r'href="([^"]+)"'
 
 
-def extract_outlinks(fetched: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_outlinks(
+    fetched: DataFrame,
+    text_col: str = "text",
+    link_meta: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
     """UDTF-like link extraction (SURVEY §2.12): one page -> N outlinks.
-    JVM regexp_extract_all + explode — no Python in the loop."""
+    JVM regexp_extract_all + explode — no Python in the loop.
+
+    Meta threading (schemas.FRONTIER_SCHEMA ``meta``; reference
+    pos_spider.py:118-126 / edp_spider.py:246-259 chain callback state
+    through ``Request.meta``): every outlink INHERITS its parent page's
+    ``meta`` map, and ``link_meta`` — {key: Column over the parent row} —
+    merges additional entries in (e.g. the PoS conference id extracted on
+    hop 1, read back when hop 2 parses). ``_parent`` (the parent url) rides
+    along as the deterministic dedup tiebreak."""
+    meta_col = (
+        F.col("meta")
+        if "meta" in fetched.columns
+        else F.expr("CAST(map() AS map<string,string>)")
+    )
+    if link_meta:
+        add = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in link_meta]),
+            F.array(*[v for v in link_meta.values()]),
+        )
+        # dict.update semantics (last wins), independent of the session's
+        # mapKeyDedupPolicy: drop inherited entries the new keys overwrite
+        # (a hop-2 page re-stamping hop1_url would otherwise trip ANSI's
+        # DUPLICATED_MAP_KEY in map_concat)
+        keys = list(link_meta.keys())
+        inherited = F.map_filter(
+            F.coalesce(meta_col, F.expr("map()")), lambda k, _: ~k.isin(keys)
+        )
+        meta_col = F.map_concat(inherited, add)
     return (
         fetched.select(
             F.col("warc_ts").alias("discovered_ts"),
+            F.col("url").alias("_parent"),
+            meta_col.alias("meta"),
             F.explode(F.regexp_extract_all(F.col(text_col), F.lit(_LINK_RE), 1)).alias(
                 "url"
             ),
@@ -220,8 +258,15 @@ def run_crawl(
             F.coalesce(F.col("discovered_ts"), F.current_timestamp()).alias(
                 "discovered_ts"
             ),
+            *(["meta"] if "meta" in seeds.columns else []),
         ).withColumn("attempt", F.lit(0))
         url_seen = spark.createDataFrame([], "url string, last_ts timestamp")
+    # meta threading (FRONTIER_SCHEMA): tolerate meta-less seeds and
+    # pre-meta resume snapshots by adding an empty map
+    if "meta" not in frontier.columns:
+        frontier = frontier.withColumn(
+            "meta", F.expr("CAST(map() AS map<string,string>)")
+        )
 
     # pages projected once; at 100 TB this scan is partition-pruned by the
     # fetch join keys (bucket(url)).
@@ -500,13 +545,23 @@ def run_crawl(
             # fused single-Arrow-pass feature extraction — bit-equal to the
             # individual column expressions (pinned by test) but the text
             # crosses to the python worker ONCE instead of being re-scanned
-            # and re-allocated by several JVM regex expressions
-            records = X.record_features(fetched)
+            # and re-allocated by several JVM regex expressions. `meta`
+            # rides along: hop-2 records carry the hop-1 state that
+            # discovered them (the PoS/EDP chained-harvest contract).
+            records = X.record_features(fetched, keep_cols=("url", "meta"))
 
-        links = extract_outlinks(fetched)
+        links = extract_outlinks(fetched, link_meta=cfg.link_meta)
         new_frontier_rows = (
             links.groupBy("url", "host")
-            .agg(F.min("discovered_ts").alias("discovered_ts"))
+            .agg(
+                F.min("discovered_ts").alias("discovered_ts"),
+                # deterministic meta pick: the earliest (ts, parent) wins.
+                # min_by keeps partial aggregation (map-side combine), unlike
+                # a row_number window which would sort the full link set.
+                F.min_by(
+                    "meta", F.struct(F.col("discovered_ts"), F.col("_parent"))
+                ).alias("meta"),
+            )
             .withColumn("priority", F.lit(0.0))
             .withColumn("attempt", F.lit(0))
         )
@@ -528,7 +583,9 @@ def run_crawl(
             remaining.select("url"), "url", "left_anti"
         )
         next_frontier = remaining.unionByName(
-            candidates.select("url", "host", "priority", "discovered_ts", "attempt")
+            candidates.select(
+                "url", "host", "priority", "discovered_ts", "attempt", "meta"
+            )
         )
 
         # bloom_table delta: OR the wave's hashes into the shard bitmaps —

@@ -196,8 +196,11 @@ def record_features(
     import pyarrow.compute as pc
 
     stop_alt = " (" + "|".join(EN_STOPWORDS) + ") "
+    # keep_cols pass through with their INPUT types (e.g. the frontier's
+    # meta map<string,string>), not hardcoded string
+    in_types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
     out_schema = ", ".join(
-        f"{c} string" for c in keep_cols
+        f"{c} {in_types[c]}" for c in keep_cols
     ) + ", " + RECORD_FEATURES_FIELDS
 
     def batches(it):

@@ -136,6 +136,36 @@ def test_cuckoo_resident_delta_no_per_iteration_rebuild(spark, corpus, seeds, tm
     assert len(calls) == 1  # resume: ONE rebuild from url_seen, then deltas
 
 
+def test_meta_threads_through_two_hop_chain(spark, corpus, seeds, tmp_path):
+    """PoS-shape chained harvest (reference pos_spider.py:118-126): hop-1
+    state rides Request.meta and hop-2 parsing reads it. Here: seeds carry
+    meta {job: pos2019}; link_meta stamps each outlink with its parent url;
+    the hop-2 records (iteration 1) must surface BOTH."""
+    sd = str(tmp_path / "meta")
+    seeded = seeds.withColumn(
+        "meta", F.create_map(F.lit("job"), F.lit("pos2019"))
+    )
+    res = run_crawl(
+        spark, corpus, seeded,
+        CrawlConfig(
+            max_iterations=2, max_per_host=15, salt=1, filter_mode="none",
+            state_dir=sd, keep_snapshots=5,
+            link_meta={"hop1_url": F.col("url")},
+        ),
+    )
+    assert len(res.iterations) == 2 and res.iterations[1].fetched > 0
+    hop1 = {r["url"] for r in spark.read.parquet(f"{sd}/iter_0000/records").collect()}
+    hop2 = spark.read.parquet(f"{sd}/iter_0001/records").collect()
+    assert hop2, "hop 2 produced no records"
+    for r in hop2:
+        # hop-2 record reads hop-1 state: the seed job id AND the parent url
+        assert r["meta"]["job"] == "pos2019"
+        assert r["meta"]["hop1_url"] in hop1
+    # the frontier snapshot itself carries the threaded meta column
+    front = spark.read.parquet(f"{sd}/iter_0001/frontier")
+    assert dict(front.dtypes)["meta"] == "map<string,string>"
+
+
 def test_recrawl_cutoff_invalidates_and_refetches(spark, corpus, tmp_path):
     """reference middlewares.py:134-155: an entry whose stored timestamp is
     older than the new capture must be re-crawled. A frontier of already-
