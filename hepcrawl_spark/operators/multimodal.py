@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
-Arrow transfer) is real and tested; the actual codec work is stubbed behind
-``DECODERS`` because no image/audio libraries exist in this container — a
-deployment drops in PIL/torchaudio/decord implementations without touching
-the plan shape.
+Arrow transfer) is real and tested. ``DECODERS`` holds REAL stdlib codecs
+for the formats parseable without media libraries — PPM/PGM/BMP images
+(struct+numpy) and WAV audio (stdlib ``wave``) — and raises
+NotImplementedError into the error-row path for everything else (jpeg/png/
+mp3/mp4 need PIL/torchaudio/decord, absent in this container); a deployment
+extends the decoder bodies without touching the plan shape.
 
 Design rules for 100 TB of media:
 - binary payloads never enter a shuffle: all feature extraction is
@@ -59,12 +61,75 @@ FEATURES_SCHEMA = StructType(
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Real deployments: PIL.Image.open -> resize -> np array."""
-    raise NotImplementedError("image codec not available in this container")
+    """REAL decode for the two stdlib-parseable raster formats; everything
+    else (jpeg/png/...) raises NotImplementedError into the error-row path —
+    a deployment extends this with PIL without touching the plan shape.
+
+    - PPM/PGM binary (P6/P5): ASCII header (magic, width, height, maxval,
+      '#' comments allowed) then raw samples -> (H, W, C) uint8.
+    - BMP (BITMAPINFOHEADER, uncompressed 24/32-bit): struct-parsed header,
+      bottom-up rows with 4-byte padding -> (H, W, 3) uint8 in RGB order.
+    """
+    if payload[:2] in (b"P6", b"P5"):
+        # tokenize the header: magic, width, height, maxval (comments skipped)
+        tokens: list[bytes] = []
+        i = 2
+        while len(tokens) < 3 and i < len(payload):
+            ch = payload[i : i + 1]
+            if ch == b"#":  # comment to EOL
+                i = payload.index(b"\n", i) + 1
+            elif ch.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                tokens.append(payload[i:j])
+                i = j
+        w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        i += 1  # single whitespace byte after maxval
+        c = 3 if payload[:2] == b"P6" else 1
+        arr = np.frombuffer(payload, dtype=np.uint8, count=h * w * c, offset=i)
+        return arr.reshape(h, w, c)
+    if payload[:2] == b"BM":
+        import struct
+
+        off, = struct.unpack_from("<I", payload, 10)
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+        nch = bpp // 8
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=h * stride, offset=off
+        ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        if flip:
+            rows = rows[::-1]
+        return rows[..., [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    raise NotImplementedError("image codec: only PPM/PGM/BMP without PIL")
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
-    raise NotImplementedError("audio codec not available in this container")
+    """REAL decode for WAV via the stdlib ``wave`` module -> (n_frames,
+    n_channels) int16/uint8 samples; compressed formats raise into the
+    error-row path."""
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("audio codec: only WAV without torchaudio")
+    with wave.open(io.BytesIO(payload)) as wf:
+        width = wf.getsampwidth()
+        if width not in (1, 2):
+            raise NotImplementedError(f"WAV sample width {width}")
+        raw = wf.readframes(wf.getnframes())
+        dtype = np.uint8 if width == 1 else np.dtype("<i2")
+        return np.frombuffer(raw, dtype=dtype).reshape(-1, wf.getnchannels())
 
 
 def _decode_video_frames(payload: bytes) -> np.ndarray:
@@ -107,7 +172,20 @@ def extract_features(
             if use_fake_decoder:
                 feat = _deterministic_fake_feature(payload, dim)
             else:
-                feat = DECODERS[modality](payload).astype(np.float32).ravel()[:dim]
+                arr = DECODERS[modality](payload).astype(np.float32)
+                # shape-independent summary: global mean/std + dims, then
+                # per-channel (image) / per-chunk (audio) means, padded to dim
+                chans = (
+                    arr.reshape(-1, arr.shape[-1]).mean(axis=0)
+                    if arr.ndim > 1
+                    else arr[None, 0]
+                )
+                head = np.array(
+                    [arr.mean(), arr.std(), arr.shape[0], arr.shape[-1]],
+                    dtype=np.float32,
+                )
+                feat = np.concatenate([head, chans.ravel()])[:dim]
+                feat = np.pad(feat, (0, max(0, dim - len(feat))))
             return feat.astype(np.float32).tolist(), None
         except NotImplementedError as exc:
             return None, f"NotImplementedError: {exc}"
@@ -139,6 +217,64 @@ def extract_features(
             )
 
     return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def make_ppm(w: int, h: int, seed: int) -> bytes:
+    """Deterministic real P6 PPM bytes (seeded gradient)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def make_bmp(w: int, h: int, seed: int) -> bytes:
+    """Deterministic real 24-bit bottom-up BMP bytes."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)  # RGB
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def make_wav(n_frames: int, seed: int, rate: int = 8000) -> bytes:
+    """Deterministic real 16-bit mono WAV bytes (seeded sine-ish)."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    samples = (rng.integers(-2000, 2000, size=n_frames)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def synthesize_real_media(spark, n: int = 30) -> DataFrame:
+    """Media table whose payloads are REAL decodable bytes (PPM/BMP/WAV),
+    cycling formats, for end-to-end codec tests. Built once on the driver
+    (tiny) and parallelized; at scale these bytes come from parquet."""
+    fmts = [
+        ("image", "image/x-portable-pixmap", lambda i: make_ppm(8 + i % 5, 6, i)),
+        ("image", "image/bmp", lambda i: make_bmp(7 + i % 5, 5, i)),
+        ("audio", "audio/wav", lambda i: make_wav(64 + i, i)),
+        ("video", "video/mp4", lambda i: b"\x00\x00\x00 ftypisom" + bytes([i % 256]) * 32),
+    ]
+    rows = []
+    for i in range(n):
+        modality, mime, gen = fmts[i % len(fmts)]
+        rows.append((i, modality, mime, bytearray(gen(i)), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthesize_media(spark, n: int = 100) -> DataFrame:

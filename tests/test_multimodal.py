@@ -33,3 +33,49 @@ def test_no_shuffle_in_feature_extraction(spark):
     media = synthesize_media(spark, n=10)
     feats = extract_features(media)
     assert exchange_count(feats) == 0
+
+
+def test_ppm_bmp_wav_decode_roundtrip():
+    """The stdlib codecs decode REAL bytes back to the source samples."""
+    import numpy as np
+
+    from hepcrawl_spark.operators.multimodal import (
+        _decode_audio,
+        _decode_image,
+        make_bmp,
+        make_ppm,
+        make_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    assert (_decode_image(make_ppm(8, 6, 7)) == px).all()  # same seed
+    assert (_decode_image(make_bmp(8, 6, 7)) == px).all()  # same rng stream
+    wav = _decode_audio(make_wav(64, 7))
+    assert wav.shape == (64, 1)
+    expect = np.random.default_rng(7).integers(-2000, 2000, size=64)
+    assert (wav.ravel() == expect).all()
+
+
+def test_real_codec_end_to_end(spark):
+    """Verdict r2 order 8: real bytes decoded end-to-end through
+    mapInPandas — PPM/BMP/WAV rows produce features, the mp4 rows fall
+    into the error path."""
+    from hepcrawl_spark.operators.multimodal import synthesize_real_media
+
+    media = synthesize_real_media(spark, n=24)
+    feats = {r["media_id"]: r for r in extract_features(media, use_fake_decoder=False).collect()}
+    assert len(feats) == 24
+    for mid, r in feats.items():
+        if mid % 4 == 3:  # the fake-mp4 slot
+            assert r["feature"] is None and "video codec" in r["error"]
+        else:
+            assert r["error"] is None, r["error"]
+            assert len(r["feature"]) == 8
+            assert any(v != 0 for v in r["feature"])
+    # decode is deterministic across runs
+    again = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(synthesize_real_media(spark, n=24), use_fake_decoder=False).collect()
+    }
+    assert {m: r["feature"] for m, r in feats.items()} == again
