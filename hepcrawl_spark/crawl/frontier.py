@@ -56,6 +56,7 @@ from ..operators.cuckoo import (
 )
 from ..operators.dedup import crawl_once_gate
 from ..operators.politeness import robots_gate, select_wave
+from ..sources import merge_store
 
 
 @dataclass
@@ -96,6 +97,18 @@ class CrawlConfig:
                                      # fingerprints) so they re-crawl — the
                                      # middlewares.py:134-155 newer-capture
                                      # semantics as a periodic policy sweep
+    seen_store: str = "snapshot"     # 'snapshot' (url_seen fully rewritten
+                                     # per durable iteration) | 'merge'
+                                     # (sources/merge_store.py: Iceberg-
+                                     # shaped bucketed MERGE INTO — each
+                                     # iteration upserts the WAVE into a
+                                     # bucket(url)-partitioned table and
+                                     # rewrites only touched buckets; the
+                                     # O(|seen|) full rewrite disappears,
+                                     # the 10^10-URL url_seen design)
+    seen_buckets: int = 16           # merge-store bucket count; at 10^10
+                                     # urls use ~2^14 so a bucket stays
+                                     # ~100 GB raw / a few GB parquet
     snapshot_every: int = 1          # durable parquet snapshot cadence; in
                                      # between, state is localCheckpoint'ed
                                      # (lineage truncated, NOT durable) and
@@ -237,6 +250,7 @@ def run_crawl(
     state_dir = cfg.state_dir or f"/tmp/hepcrawl_spark_state_{os.getpid()}_{id(seeds)}"
     os.makedirs(state_dir, exist_ok=True)
 
+    seen_dir = f"{state_dir}/url_seen_merge"
     start_iter = 0
     frontier = url_seen = None
     resumed_seen_size = 0
@@ -245,7 +259,16 @@ def run_crawl(
         if m is not None:
             start_iter = m["iteration"] + 1
             frontier = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/frontier")
-            url_seen = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/url_seen")
+            if m.get("seen_store") == "merge":
+                # the merge table commits every iteration but the manifest
+                # only every snapshot_every-th: rebase the table onto the
+                # manifest's snapshot so lost-iteration merges are abandoned
+                # (their frontier rows are lost too — state must agree)
+                if "seen_snapshot" in m:
+                    merge_store.rollback(seen_dir, m["seen_snapshot"])
+                url_seen = merge_store.read_table(spark, seen_dir)
+            else:
+                url_seen = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/url_seen")
             # the url_seen cardinality must survive the restart: the cuckoo
             # rebuild is sized from it, and a filter sized for 0 items would
             # silently overflow -> false negatives -> re-fetching seen URLs.
@@ -266,6 +289,12 @@ def run_crawl(
     if "meta" not in frontier.columns:
         frontier = frontier.withColumn(
             "meta", F.expr("CAST(map() AS map<string,string>)")
+        )
+    if cfg.seen_store == "merge" and not os.path.exists(f"{seen_dir}/HEAD"):
+        # fresh run (or migration from snapshot layout): seed the bucketed
+        # table once; every later iteration is a touched-buckets-only MERGE
+        merge_store.create_table(
+            url_seen, seen_dir, key="url", n_buckets=cfg.seen_buckets
         )
 
     # pages projected once; at 100 TB this scan is partition-pruned by the
@@ -296,6 +325,13 @@ def run_crawl(
             .collect()
         ]
         url_seen = url_seen.filter(F.col("last_ts") >= cut)
+        if cfg.seen_store == "merge":
+            # MERGE ... WHEN MATCHED AND stale THEN DELETE: rewrites only
+            # buckets that actually hold an invalidated row
+            merge_store.merge_delete(
+                spark, seen_dir, f"last_ts < timestamp '{cfg.recrawl_cutoff}'"
+            )
+            url_seen = merge_store.read_table(spark, seen_dir)
         seen_size = max(0, resumed_seen_size - len(invalidated_hashes))
         resumed_seen_size = seen_size
 
@@ -510,12 +546,21 @@ def run_crawl(
                 frontier.join(wave_pre.select("url"), "url", "left_anti"),
                 f"{it_dir}/frontier",
             )
-            url_seen = _snapshot(url_seen, f"{it_dir}/url_seen")
+            if cfg.seen_store == "merge":
+                # url_seen unchanged this iteration and the merge table is
+                # already durable — no rewrite, manifest keeps pointing at it
+                seen_ref = seen_dir
+            else:
+                url_seen = _snapshot(url_seen, f"{it_dir}/url_seen")
+                seen_ref = f"{it_dir}/url_seen"
             extra = {
                 "frontier": f"{it_dir}/frontier",
-                "url_seen": f"{it_dir}/url_seen",
+                "url_seen": seen_ref,
+                "seen_store": cfg.seen_store,
                 "seen_size": seen_size,
             }
+            if cfg.seen_store == "merge":
+                extra["seen_snapshot"] = merge_store.current_snapshot(seen_dir)
             if bloom_tbl is not None:
                 # state unchanged this iteration, but the snapshot must move
                 # with the manifest or the vacuum strands it
@@ -618,15 +663,29 @@ def run_crawl(
             or (it + 1) % cfg.snapshot_every == 0
             or it == cfg.max_iterations - 1  # final iteration always commits
         )
+        def _merge_seen() -> DataFrame:
+            # MERGE INTO url_seen USING wave: only the buckets the wave's
+            # urls hash into are read+rewritten; the merged table read back
+            # from the new manifest doubles as lineage truncation. Durable
+            # EVERY iteration at O(|wave|+touched buckets) cost — the
+            # merge store's whole point vs the O(|seen|) full rewrite.
+            merge_store.merge_upsert(
+                spark,
+                seen_dir,
+                fetched.select("url", F.col("warc_ts").alias("last_ts")),
+                key="url",
+            )
+            return merge_store.read_table(spark, seen_dir)
+
         with ThreadPoolExecutor(max_workers=4) as pool:
             if durable:
                 futs = {
                     "frontier": pool.submit(
                         _snapshot, next_frontier, f"{it_dir}/frontier"
                     ),
-                    "url_seen": pool.submit(
-                        _snapshot, new_seen, f"{it_dir}/url_seen"
-                    ),
+                    "url_seen": pool.submit(_merge_seen)
+                    if cfg.seen_store == "merge"
+                    else pool.submit(_snapshot, new_seen, f"{it_dir}/url_seen"),
                 }
                 if new_bloom is not None:
                     futs["bloom"] = pool.submit(
@@ -637,7 +696,9 @@ def run_crawl(
                     "frontier": pool.submit(
                         lambda df=next_frontier: df.localCheckpoint(eager=True)
                     ),
-                    "url_seen": pool.submit(
+                    "url_seen": pool.submit(_merge_seen)
+                    if cfg.seen_store == "merge"
+                    else pool.submit(
                         lambda df=new_seen: df.localCheckpoint(eager=True)
                     ),
                 }
@@ -667,9 +728,16 @@ def run_crawl(
         if durable:
             manifest_extra = {
                 "frontier": f"{it_dir}/frontier",
-                "url_seen": f"{it_dir}/url_seen",
+                "url_seen": seen_dir
+                if cfg.seen_store == "merge"
+                else f"{it_dir}/url_seen",
+                "seen_store": cfg.seen_store,
                 "seen_size": seen_size,
             }
+            if cfg.seen_store == "merge":
+                manifest_extra["seen_snapshot"] = merge_store.current_snapshot(
+                    seen_dir
+                )
             if new_bloom is not None:
                 manifest_extra["bloom"] = f"{it_dir}/bloom"
             _write_manifest(state_dir, it, manifest_extra)
@@ -683,6 +751,14 @@ def run_crawl(
 
         if durable:
             _vacuum_snapshots(state_dir, cfg.keep_snapshots)
+            if cfg.seen_store == "merge":
+                # the merge table advances every iteration, the manifest
+                # every snapshot_every-th — keep enough merge snapshots that
+                # every retained manifest's seen_snapshot stays readable
+                merge_store.vacuum(
+                    seen_dir,
+                    cfg.keep_snapshots * max(1, cfg.snapshot_every) + 1,
+                )
 
         result.iterations.append(
             IterationStats(
