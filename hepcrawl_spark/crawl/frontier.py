@@ -154,6 +154,7 @@ def extract_outlinks(
     fetched: DataFrame,
     text_col: str = "text",
     link_meta: dict[str, "F.Column"] | None = None,
+    thread_meta: bool = True,
 ) -> DataFrame:
     """UDTF-like link extraction (SURVEY §2.12): one page -> N outlinks.
     JVM regexp_extract_all + explode — no Python in the loop.
@@ -164,7 +165,23 @@ def extract_outlinks(
     ``meta`` map, and ``link_meta`` — {key: Column over the parent row} —
     merges additional entries in (e.g. the PoS conference id extracted on
     hop 1, read back when hop 2 parses). ``_parent`` (the parent url) rides
-    along as the deterministic dedup tiebreak."""
+    along as the deterministic dedup tiebreak.
+
+    ``thread_meta=False`` is the pay-for-use fast path for crawls with no
+    chained-harvest state anywhere (no seed meta, no link_meta): the map
+    and parent columns are omitted so the per-link shuffle rows stay
+    minimal; run_crawl re-attaches an empty map after the links groupBy."""
+    if not thread_meta:
+        return (
+            fetched.select(
+                F.col("warc_ts").alias("discovered_ts"),
+                F.explode(
+                    F.regexp_extract_all(F.col(text_col), F.lit(_LINK_RE), 1)
+                ).alias("url"),
+            )
+            .withColumn("host", F.lower(F.parse_url("url", F.lit("HOST"))))
+            .filter(F.col("host").isNotNull())
+        )
     meta_col = (
         F.col("meta")
         if "meta" in fetched.columns
@@ -251,6 +268,14 @@ def run_crawl(
     os.makedirs(state_dir, exist_ok=True)
 
     seen_dir = f"{state_dir}/url_seen_merge"
+    # pay-for-use meta threading: the chained-harvest state machinery (map +
+    # parent columns through the link explosion and groupBy) only runs when
+    # some source of meta exists — link_meta stamping, seed-borne meta, or a
+    # resumed run that had it (persisted in the manifest). Otherwise links
+    # shuffle minimal rows and records skip the map column.
+    meta_live = cfg.link_meta is not None or (
+        seeds is not None and "meta" in seeds.columns
+    )
     start_iter = 0
     frontier = url_seen = None
     resumed_seen_size = 0
@@ -258,6 +283,7 @@ def run_crawl(
         m = read_manifest(state_dir)
         if m is not None:
             start_iter = m["iteration"] + 1
+            meta_live = meta_live or bool(m.get("meta_live"))
             frontier = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/frontier")
             if m.get("seen_store") == "merge":
                 # the merge table commits every iteration but the manifest
@@ -558,6 +584,7 @@ def run_crawl(
                 "url_seen": seen_ref,
                 "seen_store": cfg.seen_store,
                 "seen_size": seen_size,
+                "meta_live": meta_live,
             }
             if cfg.seen_store == "merge":
                 extra["seen_snapshot"] = merge_store.current_snapshot(seen_dir)
@@ -593,23 +620,35 @@ def run_crawl(
             # and re-allocated by several JVM regex expressions. `meta`
             # rides along: hop-2 records carry the hop-1 state that
             # discovered them (the PoS/EDP chained-harvest contract).
-            records = X.record_features(fetched, keep_cols=("url", "meta"))
+            records = X.record_features(
+                fetched, keep_cols=("url", "meta") if meta_live else ("url",)
+            )
 
-        links = extract_outlinks(fetched, link_meta=cfg.link_meta)
-        new_frontier_rows = (
-            links.groupBy("url", "host")
-            .agg(
-                F.min("discovered_ts").alias("discovered_ts"),
+        links = extract_outlinks(
+            fetched, link_meta=cfg.link_meta, thread_meta=meta_live
+        )
+        meta_agg = (
+            [
                 # deterministic meta pick: the earliest (ts, parent) wins.
                 # min_by keeps partial aggregation (map-side combine), unlike
                 # a row_number window which would sort the full link set.
                 F.min_by(
                     "meta", F.struct(F.col("discovered_ts"), F.col("_parent"))
-                ).alias("meta"),
-            )
+                ).alias("meta")
+            ]
+            if meta_live
+            else []
+        )
+        new_frontier_rows = (
+            links.groupBy("url", "host")
+            .agg(F.min("discovered_ts").alias("discovered_ts"), *meta_agg)
             .withColumn("priority", F.lit(0.0))
             .withColumn("attempt", F.lit(0))
         )
+        if not meta_live:
+            new_frontier_rows = new_frontier_rows.withColumn(
+                "meta", F.expr("CAST(map() AS map<string,string>)")
+            )
 
         # 6. state merge
         new_seen = (
@@ -733,6 +772,7 @@ def run_crawl(
                 else f"{it_dir}/url_seen",
                 "seen_store": cfg.seen_store,
                 "seen_size": seen_size,
+                "meta_live": meta_live,
             }
             if cfg.seen_store == "merge":
                 manifest_extra["seen_snapshot"] = merge_store.current_snapshot(

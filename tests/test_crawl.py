@@ -336,3 +336,23 @@ def test_fully_blocked_wave_does_not_halt_crawl(spark, corpus, tmp_path):
     # iteration 1 fetches the allowed URL.
     assert res.total_fetched >= 1
     assert allowed["url"] in _final_seen(spark, sd)
+
+
+def test_meta_threading_is_pay_for_use(spark, corpus, seeds, tmp_path):
+    """Without any meta source (no seed meta, no link_meta) the link rows
+    must not carry the map/parent columns, and the resulting frontier still
+    has the uniform (empty-map) meta column."""
+    from hepcrawl_spark.crawl.frontier import extract_outlinks
+
+    links = extract_outlinks(corpus.limit(5), thread_meta=False)
+    assert "meta" not in links.columns and "_parent" not in links.columns
+    sd = str(tmp_path / "nometa")
+    res = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=2, max_per_host=15, salt=1,
+                    filter_mode="none", state_dir=sd),
+    )
+    assert res.total_fetched > 0
+    front = spark.read.parquet(f"{sd}/iter_0001/frontier")
+    assert dict(front.dtypes)["meta"] == "map<string,string>"
+    assert front.filter(F.size(F.map_keys("meta")) > 0).count() == 0
