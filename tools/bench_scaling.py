@@ -23,6 +23,11 @@ from hepcrawl_spark.sources.pages import synthesize_corpus
 from hepcrawl_spark.crawl.frontier import CrawlConfig, run_crawl
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); iters = int(sys.argv[3])
+# durable-snapshot cadence (round-3): localCheckpoint between durable
+# commits removes 2 parquet write+read job commits per non-snapshot
+# iteration — part of the level-independent per-iteration cost the round-2
+# Amdahl fit measured at ~31 s. Default: one durable commit per run tail.
+snap_every = int(os.environ.get("SCALE_SNAP_EVERY", str(iters)))
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus,
                   extra_conf={
@@ -60,7 +65,8 @@ state = f"/tmp/scale_state_{cpus}_{os.getpid()}"
 t0 = time.monotonic()
 res = run_crawl(spark, corpus, seeds, CrawlConfig(
     max_iterations=iters, max_per_host=100000, salt=4,
-    filter_mode="bloom", n_expected_urls=n_pages * 2, state_dir=state))
+    filter_mode="bloom", n_expected_urls=n_pages * 2, state_dir=state,
+    snapshot_every=snap_every))
 wall = time.monotonic() - t0
 urls = res.total_scheduled + res.total_fetched
 print(json.dumps({
