@@ -252,6 +252,43 @@ def d1d_crawl_once_cuckoo_delete(spark, sf):
     return gated.select("url", "doc_id").orderBy("doc_id")
 
 
+# -- D1e: Iceberg-shaped MERGE INTO url_seen (sources/merge_store.py) --------
+# The 10^10-URL url_seen lifecycle: base table = current url_seen, delta =
+# the wave's (url, ts). MERGE rewrites only wave-touched buckets; matched
+# rows keep the greatest timestamp, unmatched insert. Oracle = the
+# equivalent union-groupBy-max, which is exactly MERGE INTO's semantics.
+@_q(
+    "d1e_merge_upsert",
+    f"""{_CTE_PREFIX}
+    , merged AS (
+        SELECT url, last_ts FROM url_seen
+        UNION ALL
+        SELECT url, discovered_ts AS last_ts FROM frontier
+    )
+    SELECT url, max(last_ts) AS last_ts FROM merged GROUP BY url ORDER BY url""",
+)
+def d1e_merge_upsert(spark, sf):
+    import shutil
+    import tempfile
+
+    from hepcrawl_spark.sources import merge_store as MS
+
+    d = tempfile.mkdtemp(prefix="merge_oracle_")
+    try:
+        MS.create_table(_seen(spark, sf), d, key="url", n_buckets=8)
+        MS.merge_upsert(
+            spark,
+            d,
+            _frontier(spark, sf).select(
+                "url", F.col("discovered_ts").alias("last_ts")
+            ),
+            key="url",
+        )
+        return MS.read_table(spark, d).orderBy("url").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # -- D2: deterministic identifier dedup --------------------------------------
 @_q(
     "d2_identifier_dedup",
@@ -1887,11 +1924,13 @@ _GATE_TAIL = [
     "c14_doi_split", "c15_doctype_classify", "c16_language_names",
     "f1_article_allowlist", "f6_language_filter", "a3_earliest_date",
     "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
+    "c2_host_basename",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
     "x8_token_counts", "x7_langid", "x9_fingerprint", "x6_embedding_neardup",
     "q1_pricing_summary", "q3_order_revenue", "d1d_crawl_once_cuckoo_delete",
+    "d1e_merge_upsert",
     # rows-only parse checks, also absent from r02
     "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
     "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",
