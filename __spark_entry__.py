@@ -410,6 +410,39 @@ def s6_tar_members_pdf(spark, sf):
     ).orderBy("archive_id", "member_name")
 
 
+# -- S18: WARC record scan (Common-Crawl-style source) ------------------------
+# Real WARC/1.0 bytes: pack documents into per-record-gzip-member archives
+# (the Common Crawl layout), read the binary column back through the
+# mapInPandas record parser, verify url/status/content digests against the
+# source table. The full pack -> WARC bytes -> parse round trip runs inside
+# the query; the oracle predicts the output relationally.
+@_q(
+    "s18_warc_scan",
+    """SELECT doc_id % 5 AS warc_id,
+           'https://w' || (doc_id % 4) || '.example.org/doc/' || doc_id AS url,
+           200 AS http_status,
+           md5(text) AS content_md5
+    FROM documents ORDER BY warc_id, url""",
+)
+def s18_warc_scan(spark, sf):
+    from hepcrawl_spark.sources import warc as W
+
+    docs = _docs(spark, sf).select(
+        (F.col("doc_id") % 5).alias("warc_id"),
+        F.concat(
+            F.lit("https://w"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    packed = W.pack_warc_by_group(docs, "warc_id", "url", "text")
+    recs = W.explode_warc_records(packed)
+    return recs.select(
+        "warc_id", "url", "http_status",
+        F.md5("body").alias("content_md5"),
+    ).orderBy("warc_id", "url")
+
+
 # -- C18: list -> value-dict shaping (outputs.py:14-59) -----------------------
 @_q(
     "c18_value_dicts",
@@ -1585,6 +1618,81 @@ def x9_fingerprint(spark, sf):
     )
 
 
+# -- X10/X11: connected components + dedup clustering ------------------------
+# The transitive-closure stage every pair-producing dedup op feeds
+# (operators/components.py, large-star/small-star). Deterministic edge set
+# over documents: chains of 10 consecutive doc_ids plus cross-links every
+# 40th id back 15 — multi-chain components with diameter > 10 forcing
+# several alternation rounds. Oracle = recursive label-propagation CTE
+# (min reachable id == component root).
+_CC_EDGES_SQL = """
+    edges AS (
+        SELECT CAST(doc_id AS BIGINT) AS src, CAST(doc_id - 1 AS BIGINT) AS dst
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(doc_id - 15 AS BIGINT)
+        FROM documents WHERE doc_id % 40 = 7 AND doc_id >= 15
+    ),
+    sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    walk(node, comp) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    ),
+    cc AS (
+        SELECT node, min(comp) AS component FROM walk GROUP BY node
+    )"""
+
+
+def _cc_edges(spark, sf):
+    ids = _docs(spark, sf).select(F.col("doc_id").cast("long").alias("doc_id"))
+    chain = ids.filter("doc_id % 10 != 0").select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    cross = ids.filter("doc_id % 40 = 7 AND doc_id >= 15").select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 15).alias("dst")
+    )
+    return chain.unionByName(cross)
+
+
+@_q(
+    "x10_connected_components",
+    f"WITH RECURSIVE {_CC_EDGES_SQL}\n"
+    "    SELECT node, component FROM cc ORDER BY node",
+)
+def x10_connected_components(spark, sf):
+    from hepcrawl_spark.operators.components import connected_components
+
+    return connected_components(_cc_edges(spark, sf)).orderBy("node")
+
+
+@_q(
+    "x11_dedup_clusters",
+    f"WITH RECURSIVE {_CC_EDGES_SQL}\n"
+    """
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           COALESCE(cc.component, d.doc_id) AS component,
+           CAST(d.doc_id AS BIGINT) = COALESCE(cc.component, d.doc_id)
+             AS is_canonical
+    FROM documents d LEFT JOIN cc ON CAST(d.doc_id AS BIGINT) = cc.node
+    ORDER BY doc_id""",
+)
+def x11_dedup_clusters(spark, sf):
+    from hepcrawl_spark.operators.components import dedup_clusters
+
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (
+        dedup_clusters(
+            _cc_edges(spark, sf), docs, id_col="doc_id",
+            left_col="src", right_col="dst",
+        )
+        .select("doc_id", "component", "is_canonical")
+        .orderBy("doc_id")
+    )
+
+
 # -- Q1: TPC-H pricing summary (relational parity check) -------------------------------------------------------------------------
 @_q(
     "q1_pricing_summary",
@@ -1924,13 +2032,15 @@ _GATE_TAIL = [
     "c14_doi_split", "c15_doctype_classify", "c16_language_names",
     "f1_article_allowlist", "f6_language_filter", "a3_earliest_date",
     "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
-    "c2_host_basename",
+    "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
+    "c18_value_dicts",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
     "x8_token_counts", "x7_langid", "x9_fingerprint", "x6_embedding_neardup",
     "q1_pricing_summary", "q3_order_revenue", "d1d_crawl_once_cuckoo_delete",
-    "d1e_merge_upsert",
+    "d1e_merge_upsert", "x10_connected_components", "x11_dedup_clusters",
+    "s18_warc_scan",
     # rows-only parse checks, also absent from r02
     "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
     "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",

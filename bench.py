@@ -99,6 +99,20 @@ def main() -> None:
         lambda: D.minhash_lsh_candidates(docs_big, num_hashes=8, bands=4).count(),
     )
     timed("exact_dedup", lambda: D.exact_dedup(docs_big).count())
+
+    # full near-dup chain: LSH pairs -> connected components (large-star/
+    # small-star) -> one canonical survivor per component
+    from hepcrawl_spark.operators.components import dedup_clusters
+
+    extras["dedup_cluster_survivors"] = timed(
+        "dedup_clusters",
+        lambda: dedup_clusters(
+            D.minhash_lsh_candidates(docs_big, num_hashes=8, bands=4),
+            docs_big.select("doc_id"),
+        )
+        .filter("is_canonical")
+        .count(),
+    )
     timed(
         "quality_tokens",
         lambda: X.quality_features(docs_big).agg(F.avg("quality_score")).collect(),
