@@ -874,6 +874,53 @@ def p6_retry_decay(spark, sf):
     )
 
 
+# -- P7: robots.txt parse (the front half of P5) ------------------------------
+# Real robots.txt text synthesized per host, parsed by crawl/robots.py
+# through mapInPandas; the oracle predicts the rules table relationally.
+# RFC semantics exercised in-query: group selection, allow+disallow rows,
+# crawl-delay capture.
+@_q(
+    "p7_robots_parse",
+    """WITH hosts AS (
+        SELECT DISTINCT doc_id % 20 AS k FROM documents
+    )
+    SELECT * FROM (
+        SELECT 'h' || k || '.example.org' AS host, 'disallow' AS allow,
+               '/private/' || k || '/' AS path_prefix,
+               CAST(k % 5 + 1 AS DOUBLE) AS crawl_delay
+        FROM hosts
+        UNION ALL
+        SELECT 'h' || k || '.example.org', 'allow',
+               '/private/' || k || '/pub/', CAST(k % 5 + 1 AS DOUBLE)
+        FROM hosts
+    ) ORDER BY host, allow, path_prefix""",
+)
+def p7_robots_parse(spark, sf):
+    from hepcrawl_spark.crawl.robots import parse_robots_txt
+
+    pages = (
+        _docs(spark, sf)
+        .select((F.col("doc_id") % 20).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example.org")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("# synthetic\nUser-agent: otherbot\nDisallow: /other/\n\n"),
+                F.lit("User-agent: *\nDisallow: /private/"),
+                F.col("k").cast("string"),
+                F.lit("/\nAllow: /private/"),
+                F.col("k").cast("string"),
+                F.lit("/pub/\nCrawl-delay: "),
+                (F.col("k") % 5 + 1).cast("string"),
+                F.lit("\n"),
+            ).alias("text"),
+        )
+    )
+    return parse_robots_txt(pages).orderBy("host", "allow", "path_prefix")
+
+
 # -- P2b: host pressure (hot-host detection input) ------------------------------
 @_q(
     "p2_host_pressure",
@@ -2033,14 +2080,14 @@ _GATE_TAIL = [
     "f1_article_allowlist", "f6_language_filter", "a3_earliest_date",
     "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
-    "c18_value_dicts",
+    "c18_value_dicts", "x4_simhash",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
     "x8_token_counts", "x7_langid", "x9_fingerprint", "x6_embedding_neardup",
     "q1_pricing_summary", "q3_order_revenue", "d1d_crawl_once_cuckoo_delete",
     "d1e_merge_upsert", "x10_connected_components", "x11_dedup_clusters",
-    "s18_warc_scan",
+    "s18_warc_scan", "p7_robots_parse",
     # rows-only parse checks, also absent from r02
     "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
     "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",

@@ -1,0 +1,168 @@
+"""robots.txt: raw fetched bodies -> rules table -> RFC 9309 gate.
+
+Completes the P5 chain (reference: Scrapy's ROBOTSTXT_OBEY middleware —
+hepcrawl enables per-spider politeness via settings; Scrapy's
+RobotsTxtMiddleware fetches and parses per-host robots.txt): the crawl
+fetches each host's ``/robots.txt`` like any other page, this module turns
+those bodies into the small rules table ``operators/politeness.robots_gate``
+broadcasts, and ``robots_gate_rfc`` applies full RFC 9309 precedence
+(longest matching prefix wins; Allow beats Disallow on equal length).
+
+Scale shape: robots.txt rows are one-per-HOST (10^7ish), not per-url — the
+parse is a narrow mapInPandas over small texts and the resulting rules
+table stays broadcastable. The RFC gate joins frontier x broadcast rules,
+aggregates per url with map-side partials; no shuffle of the frontier
+beyond the per-url groupBy it already needs.
+
+Group semantics per RFC 9309: consecutive ``User-agent`` lines open a
+group sharing the following rules; the group applied to a crawler is the
+one naming it specifically if present, else ``*``. ``Crawl-delay`` (a
+de-facto extension) is captured per group for the politeness scheduler.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RULES_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("allow", StringType()),  # 'allow' | 'disallow'
+        StructField("path_prefix", StringType()),
+        StructField("crawl_delay", DoubleType()),
+    ]
+)
+
+
+def _parse_one(text: str, agent: str) -> list[tuple[str, str, float | None]]:
+    """-> [(allow|disallow, prefix, crawl_delay)] for the applicable group."""
+    agent = agent.lower()
+    groups: list[dict] = []  # {'agents': set, 'rules': [...], 'delay': ...}
+    cur: dict | None = None
+    last_was_agent = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not last_was_agent or cur is None:
+                cur = {"agents": set(), "rules": [], "delay": None}
+                groups.append(cur)
+            cur["agents"].add(value.lower())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if cur is None:
+            continue  # rules before any User-agent line: ignored per RFC
+        if field in ("allow", "disallow"):
+            if value:  # empty Disallow == allow everything == no rule
+                cur["rules"].append(("allow" if field == "allow" else "disallow", value))
+        elif field == "crawl-delay":
+            try:
+                cur["delay"] = float(value)
+            except ValueError:
+                pass
+    # specific-agent groups beat '*'; multiple matching groups MERGE
+    # (RFC 9309 §2.2.1: rules in groups sharing a user-agent combine)
+    matching = [g for g in groups if agent in g["agents"]]
+    if not matching:
+        matching = [g for g in groups if "*" in g["agents"]]
+    if not matching:
+        return []
+    delays = [g["delay"] for g in matching if g["delay"] is not None]
+    delay = max(delays) if delays else None
+    out = [(a, p, delay) for g in matching for a, p in g["rules"]]
+    if not out and delay is not None:  # delay-only group still yields a row
+        out = [("allow", "/", delay)]
+    return out
+
+
+def parse_robots_txt(
+    robots_pages: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, robots.txt body) -> rules rows for ``agent``:
+    (host, allow, path_prefix, crawl_delay). Feeds both
+    ``politeness.robots_gate`` (disallow prefixes) and ``robots_gate_rfc``.
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for allow, prefix, delay in _parse_one(str(text), agent):
+                    rows.append((host, allow, prefix, delay))
+            yield pd.DataFrame(
+                rows, columns=["host", "allow", "path_prefix", "crawl_delay"]
+            )
+
+    return robots_pages.mapInPandas(parse, RULES_SCHEMA)
+
+
+def robots_gate_rfc(
+    frontier: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Full RFC 9309 precedence: among all rules whose prefix matches the
+    url's path, the LONGEST wins; Allow beats Disallow at equal length; a
+    url matching no rule (or whose host has no rules) is allowed.
+
+    One broadcast join + one per-url aggregate: the verdict is
+    max((len, is_allow)) over matching rules — struct max gives longest-
+    prefix-then-allow precedence in a single map-side-combinable agg."""
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    r = rules.select(
+        F.col("host").alias("_r_host"),
+        F.col("path_prefix").alias("_r_prefix"),
+        (F.col("allow") == "allow").alias("_r_allow"),
+    )
+    key = frontier.columns
+    matched = (
+        frontier.withColumn("_path", path)
+        .join(
+            F.broadcast(r),
+            (F.col("host") == F.col("_r_host"))
+            & F.col("_path").startswith(F.col("_r_prefix")),
+            "left",
+        )
+        .groupBy(*key)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_r_prefix").isNotNull(),
+                    F.struct(
+                        F.length("_r_prefix").alias("l"), F.col("_r_allow").alias("a")
+                    ),
+                )
+            ).alias("_best")
+        )
+    )
+    return matched.filter(
+        F.col("_best").isNull() | F.col("_best.a")
+    ).drop("_best")
+
+
+def crawl_delays(rules: DataFrame) -> DataFrame:
+    """(host, crawl_delay) for hosts that declare one — the politeness
+    scheduler's per-host delay override (max over duplicate rows)."""
+    return (
+        rules.filter(F.col("crawl_delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
