@@ -443,6 +443,56 @@ def s18_warc_scan(spark, sf):
     ).orderBy("warc_id", "url")
 
 
+# -- S19: sitemap scan (seed-feed source, sitemaps.org protocol) --------------
+# urlset XML synthesized relationally (sorted collect_list per group so the
+# bytes are deterministic), parsed back through the real ET-based parser;
+# the oracle predicts every (loc, lastmod, priority) row from documents.
+@_q(
+    "s19_sitemap_scan",
+    """SELECT 'https://maps.example.org/sm_' || (doc_id % 10) || '.xml' AS sitemap_url,
+           'https://s.example.org/doc/' || doc_id AS loc,
+           '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+           CAST('0.' || (doc_id % 10) AS DOUBLE) AS priority
+    FROM documents ORDER BY sitemap_url, loc""",
+)
+def s19_sitemap_scan(spark, sf):
+    from hepcrawl_spark.parsers.sitemap import parse_sitemaps
+
+    entry_xml = F.concat(
+        F.lit("<url><loc>https://s.example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        _docs(spark, sf)
+        .select(
+            F.concat(
+                F.lit("https://maps.example.org/sm_"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(".xml"),
+            ).alias("url"),
+            entry_xml.alias("entry"),
+        )
+        .groupBy("url")
+        .agg(
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("text")
+        )
+    )
+    return (
+        parse_sitemaps(sitemaps)
+        .select("sitemap_url", "loc", "lastmod", "priority")
+        .orderBy("sitemap_url", "loc")
+    )
+
+
 # -- C18: list -> value-dict shaping (outputs.py:14-59) -----------------------
 @_q(
     "c18_value_dicts",
@@ -2080,14 +2130,14 @@ _GATE_TAIL = [
     "f1_article_allowlist", "f6_language_filter", "a3_earliest_date",
     "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
-    "c18_value_dicts", "x4_simhash",
+    "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
     "x8_token_counts", "x7_langid", "x9_fingerprint", "x6_embedding_neardup",
     "q1_pricing_summary", "q3_order_revenue", "d1d_crawl_once_cuckoo_delete",
     "d1e_merge_upsert", "x10_connected_components", "x11_dedup_clusters",
-    "s18_warc_scan", "p7_robots_parse",
+    "s18_warc_scan", "p7_robots_parse", "s19_sitemap_scan",
     # rows-only parse checks, also absent from r02
     "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
     "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",

@@ -58,23 +58,52 @@ def select_wave(
     salt: int = 1,
     host_col: str = "host",
     order_cols: tuple[str, ...] = ("priority", "discovered_ts", "url"),
+    host_caps: DataFrame | None = None,
+    wave_budget_s: float | None = None,
 ) -> DataFrame:
     """P1/P2/P4: per-host politeness wave.
 
     Ranks within each (possibly salted) host partition by priority DESC then
     FIFO (discovered_ts, url — the reference's yield order, P4), keeps the
     top ``max_per_host``. Returns the frontier columns + ``wave_rank``.
-    """
-    cap = max(1, max_per_host // salt) if salt > 1 else max_per_host
+
+    ``host_caps`` (host, crawl_delay) — e.g. ``crawl/robots.crawl_delays``
+    over parsed robots.txt — overrides the default cap per host with
+    ``floor(wave_budget_s / crawl_delay)`` (min 1): a host declaring
+    Crawl-delay: 10 against a 60 s wave budget gets at most 6 fetches that
+    wave. Broadcast left join (one small row per HOST); hosts without a
+    declared delay keep ``max_per_host``. Default None preserves the exact
+    historical behavior (p1/p4 oracles)."""
+    cap_col = F.lit(max_per_host)
+    if host_caps is not None:
+        if wave_budget_s is None:
+            raise ValueError("host_caps requires wave_budget_s")
+        caps = host_caps.select(
+            F.col("host").alias("_cap_host"),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(wave_budget_s)) / F.col("crawl_delay")),
+            )
+            .cast("int")
+            .alias("_host_cap"),
+        )
+        frontier = frontier.join(
+            F.broadcast(caps), F.col(host_col) == F.col("_cap_host"), "left"
+        ).drop("_cap_host")
+        cap_col = F.least(F.coalesce(F.col("_host_cap"), F.lit(max_per_host)),
+                          F.lit(max_per_host))
+    if salt > 1:
+        cap_col = F.greatest(F.lit(1), (cap_col / salt).cast("int"))
     part = salted_host(host_col, order_cols[-1], salt)
     w = (
         Window.partitionBy(part)
         .orderBy(F.col(order_cols[0]).desc(), *[F.col(c) for c in order_cols[1:]])
     )
-    return (
+    out = (
         frontier.withColumn("wave_rank", F.row_number().over(w))
-        .filter(F.col("wave_rank") <= cap)
+        .filter(F.col("wave_rank") <= cap_col)
     )
+    return out.drop("_host_cap") if host_caps is not None else out
 
 
 def crawl_order(

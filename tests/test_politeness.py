@@ -73,3 +73,31 @@ def test_decay_priority(spark):
     out = P.decay_priority(fr.filter("priority = 4.0"))
     row = out.collect()[0]
     assert row["priority"] == 2.0 and row["attempt"] == 1
+
+
+def test_host_caps_from_crawl_delay(spark):
+    """robots Crawl-delay overrides the per-host wave cap:
+    cap = floor(wave_budget / delay), never above max_per_host, min 1."""
+    from hepcrawl_spark.operators.politeness import select_wave
+
+    rows = [(f"https://{h}/p{i}", h, 1.0, i)
+            for h in ("slow.org", "fast.org", "plain.org") for i in range(20)]
+    frontier = spark.createDataFrame(
+        rows, "url string, host string, priority double, discovered_ts long"
+    )
+    caps = spark.createDataFrame(
+        [("slow.org", 30.0), ("fast.org", 0.5)], "host string, crawl_delay double"
+    )
+    wave = select_wave(
+        frontier, max_per_host=10, host_caps=caps, wave_budget_s=60.0
+    )
+    got = {r[0]: r[1] for r in wave.groupBy("host").count().collect()}
+    # slow: floor(60/30)=2; fast: floor(60/0.5)=120 -> capped at 10; plain: 10
+    assert got == {"slow.org": 2, "fast.org": 10, "plain.org": 10}
+    assert "_host_cap" not in wave.columns
+    # salted variant still respects the per-host total (cap split per shard)
+    wave_s = select_wave(
+        frontier, max_per_host=10, salt=2, host_caps=caps, wave_budget_s=60.0
+    )
+    got_s = {r[0]: r[1] for r in wave_s.groupBy("host").count().collect()}
+    assert got_s["slow.org"] <= 2 and got_s["plain.org"] <= 10
