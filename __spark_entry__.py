@@ -493,6 +493,41 @@ def s19_sitemap_scan(spark, sf):
     )
 
 
+# -- C23: html -> visible text (the html:binary -> text:string leg) -----------
+# Deterministic html synthesized from doc columns (md5 payloads keep the
+# markup unambiguous), extracted through the real HTMLParser state machine;
+# the oracle predicts title and visible text relationally. Script bodies
+# must vanish, entities decode, whitespace collapses.
+@_q(
+    "c23_html_extract",
+    """SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           'H' || doc_id || ' says ' || md5(text) || ' & more' AS text
+    FROM documents ORDER BY doc_id""",
+)
+def c23_html_extract(spark, sf):
+    from hepcrawl_spark.functions.html import html_to_text
+
+    pages = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><script>var junk = '<p>no</p>';</script></head>"),
+            F.lit("<body><h1>H"),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1>\n  <p>says\n "),
+            F.md5("text"),
+            F.lit(" &amp; more</p></body></html>"),
+        ).alias("html"),
+    )
+    return (
+        html_to_text(pages)
+        .select("doc_id", "title", "text")
+        .orderBy("doc_id")
+    )
+
+
 # -- C18: list -> value-dict shaping (outputs.py:14-59) -----------------------
 @_q(
     "c18_value_dicts",
@@ -2131,13 +2166,14 @@ _GATE_TAIL = [
     "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
+    "x2_ngram_jaccard",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
     "x8_token_counts", "x7_langid", "x9_fingerprint", "x6_embedding_neardup",
     "q1_pricing_summary", "q3_order_revenue", "d1d_crawl_once_cuckoo_delete",
     "d1e_merge_upsert", "x10_connected_components", "x11_dedup_clusters",
-    "s18_warc_scan", "p7_robots_parse", "s19_sitemap_scan",
+    "s18_warc_scan", "p7_robots_parse", "s19_sitemap_scan", "c23_html_extract",
     # rows-only parse checks, also absent from r02
     "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
     "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",
