@@ -55,7 +55,7 @@ from ..operators.cuckoo import (
     cuckoo_might_contain_udf,
 )
 from ..operators.dedup import crawl_once_gate
-from ..operators.politeness import robots_gate, select_wave
+from ..operators.politeness import decay_priority, robots_gate, select_wave
 from ..sources import merge_store
 
 
@@ -97,6 +97,15 @@ class CrawlConfig:
                                      # fingerprints) so they re-crawl — the
                                      # middlewares.py:134-155 newer-capture
                                      # semantics as a periodic policy sweep
+    max_attempts: int = 1            # P6 retry/backoff in the live loop:
+                                     # a gated url whose fetch FAILS (no
+                                     # corpus row) re-enters the frontier
+                                     # with attempt+1 and priority*decay
+                                     # until max_attempts, then drops — the
+                                     # reference RetryMiddleware semantics.
+                                     # 1 = historical behavior (failures
+                                     # retire immediately, zero extra jobs)
+    retry_decay: float = 0.5
     seen_store: str = "snapshot"     # 'snapshot' (url_seen fully rewritten
                                      # per durable iteration) | 'merge'
                                      # (sources/merge_store.py: Iceberg-
@@ -666,11 +675,27 @@ def run_crawl(
         candidates = new_frontier_rows.join(new_seen, "url", "left_anti").join(
             remaining.select("url"), "url", "left_anti"
         )
+        frontier_cols = [
+            "url", "host", "priority", "discovered_ts", "attempt", "meta"
+        ]
         next_frontier = remaining.unionByName(
-            candidates.select(
-                "url", "host", "priority", "discovered_ts", "attempt", "meta"
-            )
+            candidates.select(*frontier_cols)
         )
+        if cfg.max_attempts > 1:
+            # P6 retry/backoff (reference RetryMiddleware; decay_priority is
+            # the oracle-gated twin): gated urls with NO corpus row are this
+            # wave's failed fetches. They were retired with wave_pre above;
+            # re-admit them with attempt+1 and decayed priority until
+            # max_attempts. Pay-for-use: one extra anti-join per iteration
+            # only when enabled.
+            failed = gated.join(corpus.select("url"), "url", "left_anti")
+            retry = decay_priority(
+                failed.filter(F.col("attempt") < cfg.max_attempts - 1),
+                decay=cfg.retry_decay,
+            )
+            next_frontier = next_frontier.unionByName(
+                retry.select(*frontier_cols)
+            )
 
         # bloom_table delta: OR the wave's hashes into the shard bitmaps —
         # a cogroup job, still zero filter bytes on the driver

@@ -356,3 +356,40 @@ def test_meta_threading_is_pay_for_use(spark, corpus, seeds, tmp_path):
     front = spark.read.parquet(f"{sd}/iter_0001/frontier")
     assert dict(front.dtypes)["meta"] == "map<string,string>"
     assert front.filter(F.size(F.map_keys("meta")) > 0).count() == 0
+
+
+def test_failed_fetch_retry_backoff(spark, corpus, seeds, tmp_path):
+    """P6 in the live loop: a seed url with no corpus row (fetch failure)
+    re-enters the frontier with attempt+1 and decayed priority until
+    max_attempts, then drops for good."""
+    ghost = spark.createDataFrame(
+        [("https://ghost.example.org/nope", "ghost.example.org", 8.0)],
+        "url string, host string, priority double",
+    ).withColumn("discovered_ts", F.current_timestamp())
+    sd = str(tmp_path / "retry")
+    res = run_crawl(
+        spark, corpus, seeds.unionByName(ghost),
+        CrawlConfig(max_iterations=4, max_per_host=15, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10,
+                    max_attempts=3, retry_decay=0.5),
+    )
+    assert res.total_fetched > 0
+    f0 = spark.read.parquet(f"{sd}/iter_0000/frontier").filter(
+        "host = 'ghost.example.org'").collect()
+    assert len(f0) == 1 and f0[0]["attempt"] == 1 and f0[0]["priority"] == 4.0
+    f1 = spark.read.parquet(f"{sd}/iter_0001/frontier").filter(
+        "host = 'ghost.example.org'").collect()
+    assert len(f1) == 1 and f1[0]["attempt"] == 2 and f1[0]["priority"] == 2.0
+    # attempt 2 == max_attempts-1: retired after its third strike
+    f2 = spark.read.parquet(f"{sd}/iter_0002/frontier").filter(
+        "host = 'ghost.example.org'").count()
+    assert f2 == 0
+    # default config: failures retire immediately (historical behavior)
+    sd2 = str(tmp_path / "noretry")
+    run_crawl(
+        spark, corpus, seeds.unionByName(ghost),
+        CrawlConfig(max_iterations=2, max_per_host=15, salt=1,
+                    filter_mode="none", state_dir=sd2, keep_snapshots=10),
+    )
+    assert spark.read.parquet(f"{sd2}/iter_0000/frontier").filter(
+        "host = 'ghost.example.org'").count() == 0
