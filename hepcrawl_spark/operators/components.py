@@ -39,13 +39,16 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, presymmetrized: bool = False) -> DataFrame:
     """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u}).
 
     Operates on the SYMMETRIC neighborhood: the previous round's output is
     oriented large->small, so without re-symmetrizing, the v > u view would
-    be empty and the fixpoint would silently collapse to singletons."""
-    sym = _symmetrize(edges)
+    be empty and the fixpoint would silently collapse to singletons.
+    ``presymmetrized`` lets the fixpoint loop pass a CACHED symmetric set —
+    this function reads it twice (mins aggregate + the v>u join), so the
+    caller caching it halves the per-round symmetrize work."""
+    sym = edges if presymmetrized else _symmetrize(edges)
     mins = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("_mn"))
@@ -111,7 +114,11 @@ def connected_components(
     )
     prev = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sym = _symmetrize(e).persist()
+        e = _small_star(_large_star(sym, presymmetrized=True)).localCheckpoint(
+            eager=True
+        )
+        sym.unpersist()
         cur = _checksum(e)
         if cur == prev:
             break

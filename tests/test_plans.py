@@ -150,3 +150,49 @@ def test_document_patch_join_is_equi(spark):
     plan = formatted_plan(patch_document_urls(records, files))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_plans_broadcast_never_smj(spark):
+    """Multi-table LSH and multi-probe IVF must broadcast the query side
+    (and centroids); the corpus must never sort-merge or cartesian join."""
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.operators import similarity as SIM
+    from hepcrawl_spark.plans import formatted_plan
+
+    emb = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 10).cast("int").alias("label"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: F.rand(42) + i).alias("embedding"),
+    )
+    q = emb.filter("vec_id < 4")
+    lsh_plan = formatted_plan(SIM.lsh_topk(emb, q, k=3, bits=4, tables=4))
+    assert "SortMergeJoin" not in lsh_plan
+    assert "CartesianProduct" not in lsh_plan
+    assert "BroadcastHashJoin" in lsh_plan
+    ivf_plan = formatted_plan(SIM.ivf_topk(emb, q, k=3, nprobe=2))
+    assert "SortMergeJoin" not in ivf_plan
+    assert "CartesianProduct" not in ivf_plan
+
+
+def test_merge_store_single_shuffle_per_upsert(spark, tmp_path):
+    """merge_upsert's write is one repartition-by-bucket shuffle plus the
+    upsert groupBy — the delta and touched buckets only, never a global
+    sort or cartesian."""
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.sources import merge_store as M
+
+    base = spark.createDataFrame(
+        [(f"u{i}", None) for i in range(50)], "url string, last_ts timestamp"
+    ).select("url", F.current_timestamp().alias("last_ts"))
+    d = str(tmp_path / "t")
+    M.create_table(base, d, key="url", n_buckets=8)
+    delta = base.limit(3).select("url", F.current_timestamp().alias("last_ts"))
+    merged = M.merge_upsert(spark, d, delta)
+    # committed manifest readable, result plan is a plain parquet scan
+    from hepcrawl_spark.plans import formatted_plan
+
+    plan = formatted_plan(M.read_table(spark, d))
+    assert "Scan parquet" in plan and "Exchange" not in plan
