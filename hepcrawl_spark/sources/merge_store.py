@@ -132,7 +132,10 @@ def merge_upsert(
     """
     m = _read_manifest(table_dir)
     n_buckets, snap = m["n_buckets"], m["snapshot"] + 1
-    delta = delta.withColumn("bucket", _bucket(key, n_buckets))
+    # a null key has no bucket; it can never be MERGE-matched either
+    delta = delta.filter(F.col(key).isNotNull()).withColumn(
+        "bucket", _bucket(key, n_buckets)
+    )
     touched = sorted(
         r["bucket"] for r in delta.select("bucket").distinct().collect()
     )

@@ -55,7 +55,12 @@ def _gzip_members(blob: bytes) -> Iterator[bytes]:
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(blob[pos:])
+        try:
+            out = d.decompress(blob[pos:])
+        except zlib.error:
+            # truncated/corrupt tail (a cut-short Common Crawl transfer):
+            # surface the intact prefix records, drop the broken member
+            return
         yield out
         tail = len(d.unused_data)
         consumed = len(blob) - pos - tail

@@ -234,3 +234,13 @@ def test_crawl_merge_seen_store_equivalence_and_resume(
         for r in spark.read.parquet(f"{sd_c}/iter_{mc['iteration']:04d}/url_seen").collect()
     }
     assert seen_resumed == seen_c
+
+
+def test_null_key_rows_dropped_from_delta(spark, base):
+    import datetime as dt
+
+    d, rows, t0 = base
+    before = _rows(spark, d)
+    delta = _mk(spark, [(None, dt.datetime(2025, 1, 1)), ("ok", dt.datetime(2025, 1, 1))])
+    M.merge_upsert(spark, d, delta)
+    assert _rows(spark, d) == before | {("ok", dt.datetime(2025, 1, 1))}

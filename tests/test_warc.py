@@ -97,3 +97,25 @@ def test_no_shuffle_in_decode(spark, docs):
         docs.select("warc_id", "url", "text"), "warc_id", "url", "text"
     ).localCheckpoint(eager=True)
     assert exchange_count(explode_warc_records(packed)) == 0
+
+
+def test_corrupt_member_yields_intact_prefix(spark, docs):
+    """A corrupt/truncated member (cut-short transfer) must surface the
+    intact prefix records without failing the task."""
+    from hepcrawl_spark.sources.warc import _gzip_members, _iter_warc_records
+
+    packed = pack_warc_by_group(
+        docs.filter("warc_id = 0").select("warc_id", "url", "text"),
+        "warc_id", "url", "text",
+    ).collect()
+    blob = bytearray(packed[0]["payload"])
+    mid = len(blob) * 55 // 100
+    for i in range(mid, mid + 8):  # corrupt a middle member
+        blob[i] ^= 0xFF
+    members = list(_gzip_members(bytes(blob)))
+    assert 1 <= len(members) < 11
+    assert all(m.startswith(b"WARC/1.0\r\n") for m in members)
+    assert 0 < sum(1 for _ in _iter_warc_records(bytes(blob))) < 11
+    # plain truncation: final member comes back partial, earlier ones intact
+    cut = bytes(packed[0]["payload"])[:-40]
+    assert all(m.startswith(b"WARC/1.0\r\n") for m in _gzip_members(cut))
