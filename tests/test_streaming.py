@@ -105,3 +105,36 @@ def test_streaming_host_budget_persists_across_batches(spark, tmp_path):
     assert len(by_host["hostA"]) == 6
     # hostB: 4 offered, all within budget
     assert sorted(by_host["hostB"]) == [100, 101, 200, 201]
+
+
+def test_incremental_harvest_with_cross_restart_dedup(spark, tmp_path):
+    """availableNow harvest: each run processes only NEW files (checkpoint),
+    and url dedup state survives the restart — a url ingested in run 1 is
+    dropped when it reappears in run 2 within the watermark."""
+    import datetime as dt
+
+    from hepcrawl_spark.schemas import PAGES_SCHEMA
+    from hepcrawl_spark.streaming.harvest import run_harvest_increment
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(rows):
+        spark.createDataFrame(
+            [(u, t, None, txt, "en") for u, txt in rows], PAGES_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(pages_dir)
+
+    write_chunk([("https://h/a", "alpha text one"), ("https://h/b", "beta text two")])
+    run_harvest_increment(spark, pages_dir, out_dir, ckpt)
+    first = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert first == {"https://h/a", "https://h/b"}
+
+    # second increment: b repeats (must dedup via restored state), c is new
+    write_chunk([("https://h/b", "beta text two"), ("https://h/c", "gamma text three")])
+    run_harvest_increment(spark, pages_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir).collect()
+    urls = sorted(r["url"] for r in out)
+    assert urls == ["https://h/a", "https://h/b", "https://h/c"]
+    assert all(r["n_tokens"] == 3 for r in out)
