@@ -1589,6 +1589,41 @@ def x4_simhash(spark, sf):
     return D.simhash(_docs(spark, sf), bits=_SH_BITS).orderBy("doc_id")
 
 
+# -- X12: SimHash banded candidate pairs -------------------------------------
+# The Google web-dedup construction over the x4 fingerprints: band-chunk
+# equality self-join, then hamming filter via bit_count(xor). The oracle
+# reproduces chunking, pigeonhole bucketing, and the hamming cutoff in SQL.
+def _simhash_pairs_oracle(bands: int = 4, max_hamming: int = 3) -> str:
+    w = _SH_BITS // bands
+    mask = (1 << w) - 1
+    sh = _simhash_oracle().rsplit("SELECT", 1)[0]  # keep the toks/agg CTEs
+    fp = _simhash_oracle().rsplit("SELECT", 1)[1].replace(" ORDER BY doc_id", "")
+    chunks = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * w}) & {mask} AS chunk FROM fp"
+        for b in range(bands)
+    )
+    return f"""{sh}, fp AS (SELECT{fp}), chunks AS ({chunks}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           bit_count(xor(fa.simhash, fb.simhash)) AS hamming
+    FROM pairs p
+    JOIN fp fa ON fa.doc_id = p.id_a
+    JOIN fp fb ON fb.doc_id = p.id_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b"""
+
+
+@_q("x12_simhash_candidates", _simhash_pairs_oracle())
+def x12_simhash_candidates(spark, sf):
+    return D.simhash_candidates(
+        _docs(spark, sf), bits=_SH_BITS, bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
 # -- X5: brute-force cosine top-k ---------------------------------------------------------------------------------
 # -- X5c: LSH hyperplane signatures (the ANN bucketing step) ------------------
 # The signature is fully portable: hyperplane weight(b, d) = +-1 by the
@@ -2166,7 +2201,7 @@ _GATE_TAIL = [
     "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
-    "x2_ngram_jaccard",
+    "x2_ngram_jaccard", "w1_tumbling_window",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
@@ -2182,6 +2217,7 @@ _GATE_HEAD = [
     "d1_crawl_once_gate", "d1b_crawl_once_bloom", "d1c_crawl_once_cuckoo",
     "j4_document_patch", "tohep_normalize", "x5c_lsh_signature",
     "x5_cosine_topk", "x5b_ivf_topk", "a1_crawl_counters",
+    "x12_simhash_candidates", "x3b_minhash_lsh_candidates",
 ]
 
 

@@ -18,7 +18,7 @@ split/explode/groupBy) so the DuckDB oracle can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32, portable_hash64
@@ -200,6 +200,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs.
 
@@ -210,7 +211,15 @@ def minhash_lsh_candidates(
     All band buckets come from ONE evaluation of the signature aggregation:
     an array of (band, bucket) structs exploded to rows. A per-band
     union would make Catalyst recompute the whole shingle -> signature
-    shuffle once per band (4x the dominant cost at bands=4)."""
+    shuffle once per band (4x the dominant cost at bands=4).
+
+    ``max_bucket_size`` is the 100-TB guard (the x2b df-cap's twin): a
+    degenerate corpus (boilerplate/empty pages sharing one signature) puts
+    k docs in one bucket and k^2 rows out of its self-join. Buckets larger
+    than the cap are DROPPED — bounding any bucket's join output at cap^2.
+    The docs in an over-full bucket are that similar to ~cap+ others; at
+    dedup time such clusters are better handled by exact_dedup on the
+    normalized text, which is O(k). None (default) keeps every bucket."""
     r = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
     band_structs = [
@@ -227,6 +236,15 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        # window count over the same (band, bucket) shuffle the join needs
+        # anyway — no extra exchange, AQE reuses the partitioning
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -263,6 +281,64 @@ def simhash(
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs via band partitioning (the Google web-dedup
+    construction): split the fingerprint into ``bands`` chunks; by
+    pigeonhole, two fingerprints within hamming distance ``bands - 1``
+    share at least one unchanged chunk, so the chunk-equality self-join
+    finds EVERY pair with hamming <= bands-1 (set bands > max_hamming for
+    exact recall) and the bit_count(xor) filter then drops false bucketmates.
+
+    Relational end to end: one shuffle on (band, chunk), pair ids join back
+    to the (tiny, one-row-per-doc) fingerprint table, JVM bit ops — no
+    cross join, no Python. Returns (id_a, id_b, hamming)."""
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    w = bits // bands
+    mask = (1 << w) - 1
+    fp = simhash(docs, bits, id_col, text_col)
+    chunks = fp.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = chunks.select(F.col(id_col).alias("id_a"), "band", "chunk")
+    b_ = chunks.select(F.col(id_col).alias("id_b"), "band", "chunk")
+    pairs = (
+        a.join(b_, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_neardup_pairs(

@@ -177,3 +177,47 @@ def test_record_features_fused_matches_columns(spark):
             for r in X.record_features(df).collect()
         }
         assert got == want
+
+
+def test_lsh_max_bucket_size_guard(spark):
+    """A degenerate corpus (identical text) puts all docs in one bucket per
+    band; the cap drops those buckets so the self-join output is bounded."""
+    from hepcrawl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere always") for i in range(40)]
+        + [(100, "a genuinely different document body"),
+           (101, "a genuinely different document body")],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    assert uncapped.count() >= 40 * 39 // 2  # quadratic blowup
+    capped = minhash_lsh_candidates(docs, num_hashes=8, bands=4, max_bucket_size=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs          # small buckets survive
+    assert len(pairs) <= 8 * 8 * 4      # every bucket bounded at cap^2
+    assert not any(a < 40 and b < 40 for a, b in pairs)
+
+
+def test_simhash_candidates_hamming_and_recall(spark):
+    """Band pigeonhole: pairs within hamming <= bands-1 are always found;
+    the hamming column is exact bit distance of the x4 fingerprints."""
+    from hepcrawl_spark.operators.dedup import simhash, simhash_candidates
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 2
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + "phi"), (2, base + "chi psi"),
+         (3, "completely unrelated words " * 8)],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_candidates(docs, bits=32, bands=4, max_hamming=3).collect()}
+    for (a, b), h in got.items():
+        assert h == bin(fps[a] ^ fps[b]).count("1") and h <= 3
+    # every true pair with hamming <= 3 must be present (pigeonhole recall)
+    import itertools
+    for a, b in itertools.combinations(sorted(fps), 2):
+        if bin(fps[a] ^ fps[b]).count("1") <= 3:
+            assert (a, b) in got
