@@ -1860,6 +1860,47 @@ def x11_dedup_clusters(spark, sf):
     )
 
 
+# -- X13: PageRank frontier prioritization ------------------------------------
+# Damped PageRank over the x10 link graph, fixed 4 iterations so both
+# engines compute the identical float sequence; the oracle UNROLLS the
+# iterations as chained CTEs (recursive aggregation is non-standard).
+# Ranks rounded to 6dp on both sides to absorb summation-order ULPs.
+def _pagerank_oracle(k: int = 4, d: float = 0.85) -> str:
+    prev = "pr0"
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f"""pr{i} AS (
+        SELECT n.node,
+               (1 - {d})/cnt.n + {d} * (
+                 COALESCE((SELECT sum(p.rank / dg.deg)
+                           FROM {prev} p JOIN deg dg ON dg.src = p.node
+                           JOIN sym_e e ON e.src = p.node
+                           WHERE e.dst = n.node), 0)
+                 + (SELECT COALESCE(sum(p.rank), 0) FROM {prev} p
+                    WHERE p.node NOT IN (SELECT src FROM deg)) / cnt.n
+               ) AS rank
+        FROM nodes n, cnt)""")
+        prev = f"pr{i}"
+    return f"""WITH {_CC_EDGES_SQL},
+    sym_e AS (SELECT DISTINCT src, dst FROM edges),
+    nodes AS (
+        SELECT src AS node FROM sym_e UNION SELECT dst FROM sym_e
+    ),
+    cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM sym_e GROUP BY src),
+    pr0 AS (SELECT node, 1.0/cnt.n AS rank FROM nodes, cnt),
+    {", ".join(steps)}
+    SELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node"""
+
+
+@_q("x13_pagerank", _pagerank_oracle())
+def x13_pagerank(spark, sf):
+    from hepcrawl_spark.operators.linkrank import pagerank
+
+    ranks = pagerank(_cc_edges(spark, sf), damping=0.85, iterations=4)
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
 # -- Q1: TPC-H pricing summary (relational parity check) -------------------------------------------------------------------------
 @_q(
     "q1_pricing_summary",
@@ -2201,7 +2242,7 @@ _GATE_TAIL = [
     "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
-    "x2_ngram_jaccard", "w1_tumbling_window",
+    "x2_ngram_jaccard", "w1_tumbling_window", "s13_json_extract",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
@@ -2217,7 +2258,7 @@ _GATE_HEAD = [
     "d1_crawl_once_gate", "d1b_crawl_once_bloom", "d1c_crawl_once_cuckoo",
     "j4_document_patch", "tohep_normalize", "x5c_lsh_signature",
     "x5_cosine_topk", "x5b_ivf_topk", "a1_crawl_counters",
-    "x12_simhash_candidates", "x3b_minhash_lsh_candidates",
+    "x12_simhash_candidates", "x3b_minhash_lsh_candidates", "x13_pagerank",
 ]
 
 
