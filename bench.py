@@ -75,6 +75,11 @@ def main() -> None:
             CrawlConfig(
                 max_iterations=4, max_per_host=2000, salt=4,
                 filter_mode="bloom", state_dir=state_dir,
+                # production durable cadence (round 3): localCheckpoint
+                # between durable commits — same config as the scaling
+                # study (BENCH/BASELINE.md); resumability tested in
+                # test_crawl. r1/r2 benches ran snapshot_every=1.
+                snapshot_every=2,
             ),
         ),
     )
