@@ -97,6 +97,15 @@ class CrawlConfig:
                                      # fingerprints) so they re-crawl — the
                                      # middlewares.py:134-155 newer-capture
                                      # semantics as a periodic policy sweep
+    rank_priorities_every: int = 0   # >0: every K-th iteration, recompute
+                                     # frontier priorities as PageRank over
+                                     # the crawl's accumulated link graph
+                                     # (operators/linkrank) — the OPIC-style
+                                     # authority-first dispatch an open-web
+                                     # frontier runs. Forces meta threading
+                                     # (the edge log needs parent urls).
+                                     # 0 = off (seed/FIFO priorities).
+    rank_iterations: int = 5         # power iterations per refresh
     max_attempts: int = 1            # P6 retry/backoff in the live loop:
                                      # a gated url whose fetch FAILS (no
                                      # corpus row) re-enters the frontier
@@ -282,8 +291,10 @@ def run_crawl(
     # some source of meta exists — link_meta stamping, seed-borne meta, or a
     # resumed run that had it (persisted in the manifest). Otherwise links
     # shuffle minimal rows and records skip the map column.
-    meta_live = cfg.link_meta is not None or (
-        seeds is not None and "meta" in seeds.columns
+    meta_live = (
+        cfg.link_meta is not None
+        or (seeds is not None and "meta" in seeds.columns)
+        or cfg.rank_priorities_every > 0
     )
     start_iter = 0
     frontier = url_seen = None
@@ -636,6 +647,13 @@ def run_crawl(
         links = extract_outlinks(
             fetched, link_meta=cfg.link_meta, thread_meta=meta_live
         )
+        if cfg.rank_priorities_every > 0:
+            # append this wave's (parent -> url) edges to the crawl's link
+            # graph log; the periodic rank refresh reads it back. One narrow
+            # write over the cached wave — no shuffle.
+            links.select(
+                F.col("_parent").alias("src"), F.col("url").alias("dst")
+            ).write.mode("append").parquet(f"{state_dir}/edges")
         meta_agg = (
             [
                 # deterministic meta pick: the earliest (ts, parent) wins.
@@ -695,6 +713,29 @@ def run_crawl(
             )
             next_frontier = next_frontier.unionByName(
                 retry.select(*frontier_cols)
+            )
+        if (
+            cfg.rank_priorities_every > 0
+            and (it + 1) % cfg.rank_priorities_every == 0
+        ):
+            # OPIC-style refresh: PageRank over the accumulated link graph,
+            # normalized to [0, 1], becomes the dispatch priority — pages
+            # many crawled pages point at move to the head of the politeness
+            # queue. Urls not yet in the graph keep their current priority.
+            from ..operators.linkrank import pagerank
+
+            ranks = pagerank(
+                spark.read.parquet(f"{state_dir}/edges"),
+                iterations=cfg.rank_iterations,
+            )
+            top = ranks.agg(F.max("rank")).collect()[0][0] or 1.0
+            r = ranks.select(
+                F.col("node").alias("url"), (F.col("rank") / top).alias("_r")
+            )
+            next_frontier = (
+                next_frontier.join(r, "url", "left")
+                .withColumn("priority", F.coalesce(F.col("_r"), F.col("priority")))
+                .drop("_r")
             )
 
         # bloom_table delta: OR the wave's hashes into the shard bitmaps —

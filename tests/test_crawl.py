@@ -393,3 +393,39 @@ def test_failed_fetch_retry_backoff(spark, corpus, seeds, tmp_path):
     )
     assert spark.read.parquet(f"{sd2}/iter_0000/frontier").filter(
         "host = 'ghost.example.org'").count() == 0
+
+
+def test_pagerank_priority_refresh(spark, corpus, seeds, tmp_path):
+    """rank_priorities_every: the frontier's priorities become normalized
+    link-authority ranks — an edge log accumulates per wave and the refresh
+    rewrites priorities in [0, 1] with rank order respected."""
+    sd = str(tmp_path / "ranked")
+    res = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=3, max_per_host=15, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=5,
+                    rank_priorities_every=1, rank_iterations=3),
+    )
+    assert res.total_fetched > 0
+    edges = spark.read.parquet(f"{sd}/edges")
+    assert edges.count() > 0 and set(edges.columns) == {"src", "dst"}
+    # final frontier was ranked against the FULL edge log (each iteration
+    # appends its wave's edges before its refresh)
+    last = max(int(d[5:]) for d in __import__("os").listdir(sd) if d.startswith("iter_"))
+    front = spark.read.parquet(f"{sd}/iter_{last:04d}/frontier")
+    pr = [r["priority"] for r in front.collect()]
+    assert pr and all(0.0 <= p <= 1.0 for p in pr)
+    # ranked priorities actually vary (not the flat seed default)
+    assert len({round(p, 6) for p in pr}) > 1
+    # the refresh respects rank order: frontier priority of a ranked url
+    # equals its normalized pagerank
+    from hepcrawl_spark.operators.linkrank import pagerank
+    import pyspark.sql.functions as F2
+    ranks = pagerank(edges, iterations=3)
+    top = ranks.agg(F2.max("rank")).collect()[0][0]
+    joined = front.join(
+        ranks.withColumnRenamed("node", "url"), "url", "inner"
+    ).collect()
+    assert joined
+    for r in joined:
+        assert abs(r["priority"] - r["rank"] / top) < 1e-9
