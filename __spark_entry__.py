@@ -1860,6 +1860,45 @@ def x11_dedup_clusters(spark, sf):
     )
 
 
+# -- X14: within-document repetition (RefinedWeb/Gopher repetition rules) ----
+# Multi-line text synthesized relationally (a repeated title line, a unique
+# md5 line, a footer), run through the real explode/groupBy operator; the
+# oracle recomputes the same statistics via unnest in DuckDB.
+@_q(
+    "x14_repetition",
+    f"""WITH t AS (
+      SELECT doc_id,
+             'title ' || (doc_id % 50) || chr(10) || md5(text) || chr(10) ||
+             'title ' || (doc_id % 50) || chr(10) || 'all rights reserved'
+               AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, trim(u.x) AS line
+      FROM t, unnest(string_split(t.text, chr(10))) AS u(x)
+      WHERE length(trim(u.x)) > 0
+    ), pl AS (
+      SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY doc_id, line
+    )
+    SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_unique_lines,
+           round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                 / sum(cnt), 6) AS dup_line_frac,
+           round(sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END)::DOUBLE
+                 / sum(length(line) * cnt), 6) AS dup_char_frac
+    FROM pl GROUP BY doc_id ORDER BY doc_id""",
+)
+def x14_repetition(spark, sf):
+    t = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("title "), (F.col("doc_id") % 50).cast("string"), F.lit("\n"),
+            F.md5("text"), F.lit("\n"),
+            F.lit("title "), (F.col("doc_id") % 50).cast("string"), F.lit("\n"),
+            F.lit("all rights reserved"),
+        ).alias("text"),
+    )
+    return X.repetition_features(t).orderBy("doc_id")
+
+
 # -- X13: PageRank frontier prioritization ------------------------------------
 # Damped PageRank over the x10 link graph, fixed 4 iterations so both
 # engines compute the identical float sequence; the oracle UNROLLS the
@@ -2243,6 +2282,7 @@ _GATE_TAIL = [
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
     "x2_ngram_jaccard", "w1_tumbling_window", "s13_json_extract",
+    "j2_affiliation_lookup",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
@@ -2259,6 +2299,7 @@ _GATE_HEAD = [
     "j4_document_patch", "tohep_normalize", "x5c_lsh_signature",
     "x5_cosine_topk", "x5b_ivf_topk", "a1_crawl_counters",
     "x12_simhash_candidates", "x3b_minhash_lsh_candidates", "x13_pagerank",
+    "x14_repetition",
 ]
 
 

@@ -254,3 +254,45 @@ def fingerprint(text_col: str | Column = "text") -> Column:
     # concat_ws maps null -> "" silently; null text must stay null (matches
     # the fused record_features pass and plain SQL md5(NULL) semantics)
     return F.when(c.isNull(), F.lit(None)).otherwise(F.md5(F.concat_ws(" ", toks)))
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition (the RefinedWeb/Gopher repetition rules —
+    boilerplate and templated spam repeat lines): per doc,
+
+    - n_lines / n_unique_lines (blank lines dropped),
+    - dup_line_frac   = repeated-line occurrences / total lines,
+    - dup_char_frac   = characters inside repeated lines / total line chars.
+
+    Fully relational: explode lines -> count per (doc, line) -> one
+    aggregation back to the doc (map-side combinable). One shuffle on
+    (doc, line); no Python. Null/empty text yields a null-stats row
+    (left join back to the input ids)."""
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    agg = per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_unique_lines"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("_dup_n"),
+        F.sum(F.length("line") * F.col("cnt")).alias("_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt")).otherwise(0)
+        ).alias("_dup_chars"),
+    )
+    out = agg.select(
+        F.col(id_col),
+        "n_lines",
+        "n_unique_lines",
+        F.round(F.col("_dup_n") / F.col("n_lines"), 6).alias("dup_line_frac"),
+        F.round(F.col("_dup_chars") / F.col("_chars"), 6).alias("dup_char_frac"),
+    )
+    return docs.select(id_col).join(out, id_col, "left")

@@ -221,3 +221,25 @@ def test_simhash_candidates_hamming_and_recall(spark):
     for a, b in itertools.combinations(sorted(fps), 2):
         if bin(fps[a] ^ fps[b]).count("1") <= 3:
             assert (a, b) in got
+
+
+def test_repetition_features(spark):
+    from hepcrawl_spark.operators.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\n\n  \nc"),     # 'a' repeats; blanks dropped
+            (2, "x\ny\nz"),               # no repetition
+            (3, None),                    # null text -> null stats
+            (4, "\n \n"),                 # only blanks -> null stats
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    r1 = got[1]
+    assert (r1["n_lines"], r1["n_unique_lines"]) == (4, 3)
+    assert r1["dup_line_frac"] == 0.5            # 2 of 4 lines repeated
+    assert r1["dup_char_frac"] == 0.5            # 'a'+'a' of a,b,a,c
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["n_lines"] is None and got[4]["n_lines"] is None
+    assert set(got) == {1, 2, 3, 4}
