@@ -1899,6 +1899,47 @@ def x14_repetition(spark, sf):
     return X.repetition_features(t).orderBy("doc_id")
 
 
+# -- X15: Gopher top-n-gram repetition ---------------------------------------
+# Word-bigram repetition over the real document text (no synthesis needed —
+# the operator normalizes internally). Oracle builds the same bigrams via
+# a range join over the token list in DuckDB.
+@_q(
+    "x15_ngram_repetition",
+    f"""WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(toks[i:i + 1], ' ') AS gram
+      FROM (
+        SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2
+      )
+    ), pg AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+    ), agg AS (
+      SELECT doc_id,
+             sum(length(replace(gram, ' ', '')) * cnt) AS total,
+             sum(CASE WHEN cnt > 1 THEN length(replace(gram, ' ', '')) * cnt
+                      ELSE 0 END) AS dup
+      FROM pg GROUP BY doc_id
+    ), mx AS (SELECT doc_id, max(cnt) AS maxc FROM pg GROUP BY doc_id),
+    top AS (
+      SELECT p.doc_id,
+             length(replace(min(p.gram), ' ', '')) * any_value(m.maxc) AS top_chars
+      FROM pg p JOIN mx m ON m.doc_id = p.doc_id AND p.cnt = m.maxc
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           round(top.top_chars::DOUBLE / agg.total, 6) AS top_ngram_char_frac,
+           round(agg.dup::DOUBLE / agg.total, 6) AS dup_ngram_char_frac
+    FROM documents d
+    LEFT JOIN agg ON agg.doc_id = d.doc_id
+    LEFT JOIN top ON top.doc_id = d.doc_id
+    ORDER BY d.doc_id""",
+)
+def x15_ngram_repetition(spark, sf):
+    return X.ngram_repetition_features(_docs(spark, sf), n=2).orderBy("doc_id")
+
+
 # -- X13: PageRank frontier prioritization ------------------------------------
 # Damped PageRank over the x10 link graph, fixed 4 iterations so both
 # engines compute the identical float sequence; the oracle UNROLLS the
@@ -2282,7 +2323,7 @@ _GATE_TAIL = [
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
     "x2_ngram_jaccard", "w1_tumbling_window", "s13_json_extract",
-    "j2_affiliation_lookup",
+    "j2_affiliation_lookup", "s12_batch_feed",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
@@ -2299,7 +2340,7 @@ _GATE_HEAD = [
     "j4_document_patch", "tohep_normalize", "x5c_lsh_signature",
     "x5_cosine_topk", "x5b_ivf_topk", "a1_crawl_counters",
     "x12_simhash_candidates", "x3b_minhash_lsh_candidates", "x13_pagerank",
-    "x14_repetition",
+    "x14_repetition", "x15_ngram_repetition",
 ]
 
 

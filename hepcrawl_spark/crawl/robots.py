@@ -166,3 +166,24 @@ def crawl_delays(rules: DataFrame) -> DataFrame:
         .groupBy("host")
         .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
+
+
+def sitemap_urls(
+    robots_pages: DataFrame, host_col: str = "host", text_col: str = "text"
+) -> DataFrame:
+    """``Sitemap:`` directives (RFC 9309 §2.3 allows non-group records;
+    sitemaps.org specifies this discovery path) -> (host, url) rows feeding
+    ``parsers/sitemap.parse_sitemaps`` on the next fetch wave. Pure column
+    expressions — regexp_extract_all over the raw text, no Python, no
+    group logic (the directive is group-independent)."""
+    return (
+        robots_pages.select(
+            F.col(host_col).alias("host"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(r"(?im)^\s*sitemap:\s*(\S+)\s*$"), 1
+                )
+            ).alias("url"),
+        )
+        .distinct()
+    )

@@ -296,3 +296,75 @@ def repetition_features(
         F.round(F.col("_dup_chars") / F.col("_chars"), 6).alias("dup_char_frac"),
     )
     return docs.select(id_col).join(out, id_col, "left")
+
+
+def ngram_repetition_features(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style word-n-gram repetition: per doc,
+
+    - top_ngram_char_frac — characters covered by the single most frequent
+      n-gram (ties broken by lexicographic gram) over all n-gram chars,
+    - dup_ngram_char_frac — characters in n-grams occurring more than once.
+
+    Character weight of a gram = its length without separators, times its
+    occurrence count; the denominator is that weight summed over all grams.
+    Relational: n-grams built by slice/transform over the token array (no
+    Python), explode -> per-(doc, gram) count -> one aggregation. Docs with
+    fewer than n tokens yield null stats (left join back)."""
+    toks = F.split(normalize_text(text_col), " ")
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                # sequence(1, 0) would count DOWN in Spark — guard short docs
+                F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - n + 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    chars = F.length(F.replace(F.col("gram"), F.lit(" "), F.lit(""))) * F.col("cnt")
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum(chars).alias("_total"),
+        F.sum(F.when(F.col("cnt") > 1, chars).otherwise(0)).alias("_dup"),
+    )
+    # deterministic top pick: max cnt, then lexicographically SMALLEST gram.
+    # A descending string inside an agg struct is not expressible, so the
+    # tie-break is a join against the per-doc max count + min(gram); both
+    # aggregations share the per_gram shuffle.
+    maxc = per_gram.groupBy(id_col).agg(F.max("cnt").alias("_maxc"))
+    top = (
+        per_gram.join(maxc, id_col)
+        .filter(F.col("cnt") == F.col("_maxc"))
+        .groupBy(id_col)
+        .agg(
+            F.min("gram").alias("_top_gram"),
+            F.first("_maxc").alias("_top_cnt"),
+        )
+        .select(
+            F.col(id_col),
+            (
+                F.length(F.replace(F.col("_top_gram"), F.lit(" "), F.lit("")))
+                * F.col("_top_cnt")
+            ).alias("_top_chars"),
+        )
+    )
+    out = (
+        agg.join(top, id_col)
+        .select(
+            F.col(id_col),
+            F.round(F.col("_top_chars") / F.col("_total"), 6).alias(
+                "top_ngram_char_frac"
+            ),
+            F.round(F.col("_dup") / F.col("_total"), 6).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )
+    return docs.select(id_col).join(out, id_col, "left")

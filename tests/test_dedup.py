@@ -1,5 +1,7 @@
 import datetime
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from hepcrawl_spark.operators import dedup as D
@@ -243,3 +245,26 @@ def test_repetition_features(spark):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[3]["n_lines"] is None and got[4]["n_lines"] is None
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_ngram_repetition_features(spark):
+    from hepcrawl_spark.operators.textstats import ngram_repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd ab cd ab"),   # bigrams: 'ab cd'x2, 'cd ab'x2
+            (2, "p q r s"),          # all bigrams unique
+            (3, "solo"),             # < n tokens -> null stats
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_repetition_features(docs, n=2).collect()}
+    # doc 1: grams {ab cd:2, cd ab:2}, chars each 4*2=8, total 16
+    # top = min gram at max cnt = 'ab cd' -> 8/16; dup = 16/16
+    assert got[1]["top_ngram_char_frac"] == 0.5
+    assert got[1]["dup_ngram_char_frac"] == 1.0
+    assert got[2]["dup_ngram_char_frac"] == 0.0
+    assert got[2]["top_ngram_char_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["top_ngram_char_frac"] is None
+    assert got[4]["top_ngram_char_frac"] is None

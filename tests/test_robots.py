@@ -121,3 +121,24 @@ def test_parsed_rules_feed_legacy_gate(spark):
     )
     kept = {r["url"] for r in robots_gate(frontier, rules).collect()}
     assert kept == {"https://h.org/ok"}
+
+
+def test_sitemap_directive_discovery(spark):
+    from hepcrawl_spark.crawl.robots import sitemap_urls
+
+    text = (
+        "User-agent: *\nDisallow: /x/\n"
+        "Sitemap: https://h.org/sitemap.xml\n"
+        "sitemap:   https://h.org/sitemap2.xml\n"
+        "# Sitemap: https://h.org/commented.xml is still extracted? no:\n"
+        "NotASitemap: https://h.org/no.xml\n"
+    )
+    pages = spark.createDataFrame(
+        [("h.org", text), ("empty.org", "User-agent: *\n")],
+        "host string, text string",
+    )
+    got = {(r["host"], r["url"]) for r in sitemap_urls(pages).collect()}
+    assert got == {
+        ("h.org", "https://h.org/sitemap.xml"),
+        ("h.org", "https://h.org/sitemap2.xml"),
+    }
