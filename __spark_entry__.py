@@ -1940,6 +1940,90 @@ def x15_ngram_repetition(spark, sf):
     return X.ngram_repetition_features(_docs(spark, sf), n=2).orderBy("doc_id")
 
 
+# -- X16/X17/X18: training-corpus prep (operators/scrub.py) -------------------
+# PII redaction over synthesized text with one email/ip/phone each (the
+# oracle predicts the redacted string directly — DuckDB RE2 lacks the
+# lookarounds the conservative phone pattern uses); deterministic
+# hash-threshold mix sampling (md5 recipe, bit-identical across engines);
+# token-window chunking rebuilt in DuckDB via list slices.
+@_q(
+    "x16_pii_redaction",
+    """SELECT doc_id,
+           'reach [EMAIL] at [IP] or call [PHONE] today' AS text,
+           1 AS n_emails, 1 AS n_ips, 1 AS n_phones
+    FROM documents ORDER BY doc_id""",
+)
+def x16_pii_redaction(spark, sf):
+    from hepcrawl_spark.operators.scrub import redact_pii
+
+    synth = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail-"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org at 10.0."),
+            (F.col("doc_id") % 200).cast("string"), F.lit("."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" or call +1 555 23"), (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(" today"),
+        ).alias("text"),
+    )
+    return (
+        redact_pii(synth)
+        .select("doc_id", "text", "n_emails", "n_ips", "n_phones")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "x17_mix_sampling",
+    """SELECT doc_id, source FROM documents
+    WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'mix1'), 1, 8))::BIGINT
+           / 4294967296.0)
+          < (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1.0
+                  WHEN source IN ('src3', 'src4') THEN 0.35
+                  ELSE 0.1 END)
+    ORDER BY doc_id""",
+)
+def x17_mix_sampling(spark, sf):
+    from hepcrawl_spark.operators.scrub import sample_by_source
+
+    rates = {"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 0.35, "src4": 0.35}
+    return (
+        sample_by_source(_docs(spark, sf), rates, default_rate=0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "x18_chunking",
+    """WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1)))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             AS chunk_text,
+           len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens
+    FROM c
+    WHERE chunk_id = 0
+       OR len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) - 8 >= 1
+    ORDER BY doc_id, chunk_id""",
+)
+def x18_chunking(spark, sf):
+    from hepcrawl_spark.operators.scrub import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf), chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
 # -- X13: PageRank frontier prioritization ------------------------------------
 # Damped PageRank over the x10 link graph, fixed 4 iterations so both
 # engines compute the identical float sequence; the oracle UNROLLS the
@@ -2323,7 +2407,8 @@ _GATE_TAIL = [
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
     "x2_ngram_jaccard", "w1_tumbling_window", "s13_json_extract",
-    "j2_affiliation_lookup", "s12_batch_feed",
+    "j2_affiliation_lookup", "s12_batch_feed", "p2_host_pressure",
+    "x1_exact_dedup", "j5_fetch_join",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
@@ -2340,7 +2425,8 @@ _GATE_HEAD = [
     "j4_document_patch", "tohep_normalize", "x5c_lsh_signature",
     "x5_cosine_topk", "x5b_ivf_topk", "a1_crawl_counters",
     "x12_simhash_candidates", "x3b_minhash_lsh_candidates", "x13_pagerank",
-    "x14_repetition", "x15_ngram_repetition",
+    "x14_repetition", "x15_ngram_repetition", "x16_pii_redaction",
+    "x17_mix_sampling", "x18_chunking",
 ]
 
 
