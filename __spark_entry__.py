@@ -2024,6 +2024,60 @@ def x18_chunking(spark, sf):
     ).orderBy("doc_id", "chunk_id")
 
 
+# -- X19: benchmark decontamination ------------------------------------------
+# Benchmarks = the first 8 normalized tokens of every 25th document (so
+# each benchmark is genuinely CONTAINED in its source doc, plus whatever
+# incidental overlaps exist); docs whose shingle sets cover >= 50% of any
+# benchmark's shingles are dropped. The oracle replays shingling (x2
+# machinery) and the containment anti-join in SQL.
+@_q(
+    "x19_decontamination",
+    f"""WITH {_SHINGLE_CTE},
+    bench AS (
+      SELECT doc_id AS bench_id,
+             array_to_string(t[1:8], ' ') AS btext
+      FROM toks WHERE doc_id % 25 = 0 AND len(t) >= 8
+    ), btoks AS (
+      SELECT bench_id, string_split(btext, ' ') AS t FROM bench
+    ), bgrams AS (
+      SELECT DISTINCT bench_id, array_to_string(t[i.i:i.i+2], ' ') AS shingle
+      FROM btoks, unnest(range(1, len(t) - 1)) AS i(i)
+      WHERE len(t) >= 3
+    ), bsizes AS (
+      SELECT bench_id, count(*) AS bench_size FROM bgrams GROUP BY bench_id
+    ), hits AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN bgrams b ON b.shingle = g.shingle
+      GROUP BY g.doc_id, b.bench_id
+      HAVING count(*) >= 0.5 * (SELECT bench_size FROM bsizes s
+                                WHERE s.bench_id = b.bench_id)
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+    ORDER BY d.doc_id""",
+)
+def x19_decontamination(spark, sf):
+    from hepcrawl_spark.operators.dedup import normalize_text
+
+    docs = _docs(spark, sf)
+    toks = F.split(normalize_text("text"), " ")
+    bench = (
+        docs.filter("doc_id % 25 = 0")
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 8)).alias("text"),
+            F.size(toks).alias("_n"),
+        )
+        .filter(F.col("_n") >= 8)
+        .drop("_n")
+    )
+    return (
+        D.decontaminate(docs, bench, threshold=0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 # -- X13: PageRank frontier prioritization ------------------------------------
 # Damped PageRank over the x10 link graph, fixed 4 iterations so both
 # engines compute the identical float sequence; the oracle UNROLLS the
@@ -2408,7 +2462,7 @@ _GATE_TAIL = [
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
     "x2_ngram_jaccard", "w1_tumbling_window", "s13_json_extract",
     "j2_affiliation_lookup", "s12_batch_feed", "p2_host_pressure",
-    "x1_exact_dedup", "j5_fetch_join",
+    "x1_exact_dedup", "j5_fetch_join", "p5_robots_gate",
 ]
 _GATE_HEAD = [
     # no green row in CORRECTNESS_r02.json at all
@@ -2426,7 +2480,7 @@ _GATE_HEAD = [
     "x5_cosine_topk", "x5b_ivf_topk", "a1_crawl_counters",
     "x12_simhash_candidates", "x3b_minhash_lsh_candidates", "x13_pagerank",
     "x14_repetition", "x15_ngram_repetition", "x16_pii_redaction",
-    "x17_mix_sampling", "x18_chunking",
+    "x17_mix_sampling", "x18_chunking", "x19_decontamination",
 ]
 
 

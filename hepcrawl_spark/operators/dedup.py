@@ -283,6 +283,50 @@ def simhash(
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: drop training docs whose n-gram overlap
+    with ANY benchmark document reaches ``threshold`` CONTAINMENT
+    (|doc ∩ bench| / |bench| — the standard direction: a long web page
+    embedding a whole eval question must go even though its own shingle
+    set is far larger). Returns the clean ``docs`` subset unchanged.
+
+    Plan: shingle both sides -> equi-join on shingle (benchmark side is
+    tiny next to the corpus — tag it broadcast-eligible) -> per (doc,
+    bench) intersection count -> containment filter -> anti-join. The
+    df-cap drops corpus-hot shingles from the join exactly as in
+    ngram_jaccard_pairs; benchmark set sizes stay exact."""
+    ds = shingles(docs, id_col, text_col, n)
+    bs = shingles(benchmarks, bench_id_col, text_col, n)
+    bsizes = bs.groupBy(bench_id_col).agg(F.count("*").alias("bench_size"))
+    if max_shingle_df is not None:
+        rare = (
+            ds.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        ds = ds.join(rare, "shingle", "left_semi")
+    hits = (
+        ds.join(F.broadcast(bs), "shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("inter"))
+        .join(F.broadcast(bsizes), bench_id_col)
+        .filter(F.col("inter") / F.col("bench_size") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
 def simhash_candidates(
     docs: DataFrame,
     bits: int = 32,

@@ -268,3 +268,29 @@ def test_ngram_repetition_features(spark):
     assert got[2]["top_ngram_char_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert got[3]["top_ngram_char_frac"] is None
     assert got[4]["top_ngram_char_frac"] is None
+
+
+def test_decontamination(spark):
+    from hepcrawl_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over dogs and more tail"),
+            (2, "the quick brown cat sits quietly nearby today"),  # partial overlap
+            (3, "entirely unrelated content about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    clean = {r["doc_id"] for r in decontaminate(docs, bench, threshold=0.5).collect()}
+    assert clean == {2, 3}  # doc 1 contains the whole benchmark
+    # strict threshold keeps everything but exact containment
+    strict = {r["doc_id"] for r in decontaminate(docs, bench, threshold=1.01).collect()}
+    assert strict == {1, 2, 3}
+    # df-cap variant still catches the containment (shingles are rare here)
+    capped = {r["doc_id"] for r in decontaminate(
+        docs, bench, threshold=0.5, max_shingle_df=5).collect()}
+    assert capped == {2, 3}
