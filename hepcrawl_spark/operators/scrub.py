@@ -122,9 +122,9 @@ def chunk_documents(
         ),
     )
     out = (
-        # null text must yield zero chunks — greatest(null, 1) would
-        # otherwise fabricate one null chunk row
-        docs.filter(F.col(text_col).isNotNull())
+        # null or whitespace-only text must yield zero chunks —
+        # greatest(null, 1) / split('') would otherwise fabricate one
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), F.explode(chunks).alias("ch"))
         .select(
             id_col,

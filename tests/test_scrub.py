@@ -66,7 +66,9 @@ def test_sample_by_source_deterministic_and_rate(spark):
 
 def test_chunk_documents_windows(spark):
     text = " ".join(f"t{i}" for i in range(10))
-    docs = spark.createDataFrame([(1, text), (2, None)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, text), (2, None), (3, "   ")], "doc_id long, text string"
+    )
     # no overlap: 4+4+2
     got = sorted(
         (r["chunk_id"], r["chunk_text"], r["n_tokens"])
@@ -82,7 +84,7 @@ def test_chunk_documents_windows(spark):
     assert got2[0][1] == "t0 t1 t2 t3"
     assert got2[1][1] == "t3 t4 t5 t6"
     assert got2[2][1] == "t6 t7 t8 t9"
-    # null text -> no chunks; doc 2 absent
+    # null and whitespace-only text -> no chunks; docs 2/3 absent
     assert {g[0] for g in got2} == {0, 1, 2}
 
 
