@@ -2000,7 +2000,7 @@ def x17_mix_sampling(spark, sf):
     "x18_chunking",
     """WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE length(trim(text)) > 0
     ), c AS (
       SELECT doc_id, toks,
              unnest(range(0, greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1)))
