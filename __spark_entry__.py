@@ -1471,7 +1471,8 @@ _SHINGLE_CTE = f"""toks AS (
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+           CAST(round(inter / (sa.set_size + sb.set_size - inter) * 1e6)
+                AS BIGINT) AS jaccard_ppm
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -1481,7 +1482,8 @@ _SHINGLE_CTE = f"""toks AS (
 def x2_ngram_jaccard(spark, sf):
     pairs = D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"),
     ).orderBy("id_a", "id_b")
 
 
@@ -1501,7 +1503,8 @@ def x2_ngram_jaccard(spark, sf):
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+           CAST(round(inter / (sa.set_size + sb.set_size - inter) * 1e6)
+                AS BIGINT) AS jaccard_ppm
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -1513,7 +1516,8 @@ def x2b_ngram_jaccard_capped(spark, sf):
         _docs(spark, sf), threshold=0.5, max_shingle_df=8
     )
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"),
     ).orderBy("id_a", "id_b")
 
 
@@ -1673,14 +1677,15 @@ def x5c_lsh_signature(spark, sf):
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+    SELECT query_id, neighbor_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_ppm, rank
     FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 )
 def x5_cosine_topk(spark, sf):
     emb = _emb(spark, sf)
     out = S.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "neighbor_id",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_ppm"), "rank"
     ).orderBy("query_id", "rank")
 
 
@@ -1699,14 +1704,15 @@ def x5_cosine_topk(spark, sf):
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+    SELECT query_id, neighbor_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_ppm, rank
     FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 )
 def x5b_ivf_topk(spark, sf):
     emb = _emb(spark, sf)
     out = S.ivf_topk(emb, emb.filter("vec_id < 8"), k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "neighbor_id",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_ppm"), "rank"
     ).orderBy("query_id", "rank")
 
 
@@ -1719,13 +1725,14 @@ def x5b_ivf_topk(spark, sf):
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    SELECT id_a, id_b, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_ppm
     FROM pairs WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
 )
 def x6_embedding_neardup(spark, sf):
     pairs = D.embedding_neardup_pairs(_emb(spark, sf), threshold=0.3)
     return pairs.select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        "id_a", "id_b",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_ppm")
     ).orderBy("id_a", "id_b")
 
 
@@ -1880,13 +1887,17 @@ def x11_dedup_clusters(spark, sf):
       SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY doc_id, line
     )
     SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_unique_lines,
-           round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
-                 / sum(cnt), 6) AS dup_line_frac,
-           round(sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END)::DOUBLE
-                 / sum(length(line) * cnt), 6) AS dup_char_frac
+           CAST(round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                 / sum(cnt) * 1e6) AS BIGINT) AS dup_line_ppm,
+           CAST(round(sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END)::DOUBLE
+                 / sum(length(line) * cnt) * 1e6) AS BIGINT) AS dup_char_ppm
     FROM pl GROUP BY doc_id ORDER BY doc_id""",
 )
 def x14_repetition(spark, sf):
+    # gate output is integer MICRO-UNITS (ppm), not round(x, 6) doubles:
+    # Spark's and DuckDB's round() can disagree in the double's last ulp,
+    # which the driver's exact value hash sees as a mismatch even though the
+    # values agree at 1e-9 (the round-3 x14 red row). Integers hash stably.
     t = _docs(spark, sf).select(
         "doc_id",
         F.concat(
@@ -1896,7 +1907,11 @@ def x14_repetition(spark, sf):
             F.lit("all rights reserved"),
         ).alias("text"),
     )
-    return X.repetition_features(t).orderBy("doc_id")
+    return X.repetition_features(t).select(
+        "doc_id", "n_lines", "n_unique_lines",
+        F.round(F.col("dup_line_frac") * 1e6).cast("long").alias("dup_line_ppm"),
+        F.round(F.col("dup_char_frac") * 1e6).cast("long").alias("dup_char_ppm"),
+    ).orderBy("doc_id")
 
 
 # -- X15: Gopher top-n-gram repetition ---------------------------------------
@@ -1929,15 +1944,22 @@ def x14_repetition(spark, sf):
       GROUP BY p.doc_id
     )
     SELECT d.doc_id,
-           round(top.top_chars::DOUBLE / agg.total, 6) AS top_ngram_char_frac,
-           round(agg.dup::DOUBLE / agg.total, 6) AS dup_ngram_char_frac
+           CAST(round(top.top_chars::DOUBLE / agg.total * 1e6) AS BIGINT)
+             AS top_ngram_ppm,
+           CAST(round(agg.dup::DOUBLE / agg.total * 1e6) AS BIGINT)
+             AS dup_ngram_ppm
     FROM documents d
     LEFT JOIN agg ON agg.doc_id = d.doc_id
     LEFT JOIN top ON top.doc_id = d.doc_id
     ORDER BY d.doc_id""",
 )
 def x15_ngram_repetition(spark, sf):
-    return X.ngram_repetition_features(_docs(spark, sf), n=2).orderBy("doc_id")
+    # ppm integers, not 6dp doubles — same hash-stability rationale as x14
+    return X.ngram_repetition_features(_docs(spark, sf), n=2).select(
+        "doc_id",
+        F.round(F.col("top_ngram_char_frac") * 1e6).cast("long").alias("top_ngram_ppm"),
+        F.round(F.col("dup_ngram_char_frac") * 1e6).cast("long").alias("dup_ngram_ppm"),
+    ).orderBy("doc_id")
 
 
 # -- X16/X17/X18: training-corpus prep (operators/scrub.py) -------------------
@@ -2108,15 +2130,19 @@ def _pagerank_oracle(k: int = 4, d: float = 0.85) -> str:
     deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM sym_e GROUP BY src),
     pr0 AS (SELECT node, 1.0/cnt.n AS rank FROM nodes, cnt),
     {", ".join(steps)}
-    SELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node"""
+    SELECT node, CAST(round(rank * 1e6) AS BIGINT) AS rank_ppm
+    FROM {prev} ORDER BY node"""
 
 
 @_q("x13_pagerank", _pagerank_oracle())
 def x13_pagerank(spark, sf):
     from hepcrawl_spark.operators.linkrank import pagerank
 
+    # ppm integers, not 6dp doubles — hash-stable across engines (see x14)
     ranks = pagerank(_cc_edges(spark, sf), damping=0.85, iterations=4)
-    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+    return ranks.select(
+        "node", F.round(F.col("rank") * 1e6).cast("long").alias("rank_ppm")
+    ).orderBy("node")
 
 
 # -- Q1: TPC-H pricing summary (relational parity check) -------------------------------------------------------------------------
@@ -2184,10 +2210,27 @@ def q3_order_revenue(spark, sf):
     )
 
 
-# -- F5: arxiv parse over fixture-free synthetic OAI bodies (rows-only check) ----------------------------------------------------------
-@_q("f5_arxiv_parse")  # no SQL oracle: XML parsing isn't SQL-expressible
+# -- F5*: parse-family gates. The bodies are synthesized relationally from
+# doc_id, parsed by the REAL pandas-UDF parsers (XML/JSON decode, name
+# normalization, date waterfall, error rows), and the oracle pins the
+# expected output as a predictive SELECT — a golden-fixture twin in SQL,
+# the hard driver signal the parse family lacked through round 3 (byte-
+# identical parity vs the reference's own fixtures stays pinned by the
+# golden tests in tests/test_parsers_*.py).
+@_q(
+    "f5_arxiv_parse",
+    """SELECT 'https://arxiv.example.org/abs/' || doc_id AS url,
+       '2400.' || doc_id AS arxiv_eprint,
+       'T ' || doc_id AS title,
+       'A b' AS abstract,
+       CAST(doc_id % 30 AS INTEGER) AS page_nr,
+       'conference paper' AS document_type,
+       CAST(1 AS INTEGER) AS n_authors,
+       'hep-th nlin.CD' AS categories
+    FROM documents WHERE doc_id < 50 ORDER BY url""",
+)  # no SQL oracle: XML parsing isn't SQL-expressible
 def f5_arxiv_parse(spark, sf):
-    docs = _docs(spark, sf).limit(50)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 50)
     body = F.concat(
         F.lit(
             '<OAI-PMH><GetRecord><record><header><identifier>oai:x:'
@@ -2215,12 +2258,23 @@ def f5_arxiv_parse(spark, sf):
     ).orderBy("url")
 
 
-# -- F5b: JATS parse over synthetic article bodies (rows-only check) --------------------------------------------------------------------
-@_q("f5b_jats_parse")
+# -- F5b: JATS parse over synthetic article bodies (predictive oracle) --------------------------------------------------------------------
+@_q(
+    "f5b_jats_parse",
+    """SELECT 'https://wsp.example.org/x/' || doc_id AS url,
+       'Title ' || doc_id AS title,
+       'A<sub>b</sub> c' AS abstract,
+       'NANO' AS journal_title,
+       CAST(2014 AS INTEGER) AS year,
+       '2014-06-05' AS imprint_date,
+       'Doe, John' AS first_author,
+       '10.1142/T' || doc_id AS doi
+    FROM documents WHERE doc_id < 50 ORDER BY url""",
+)
 def f5b_jats_parse(spark, sf):
     from hepcrawl_spark.parsers.jats import parse_jats_pages
 
-    docs = _docs(spark, sf).limit(50)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 50)
     body = F.concat(
         F.lit('<article article-type="research-article"><front><journal-meta>'
               "<journal-title>NANO</journal-title>"
@@ -2248,12 +2302,26 @@ def f5b_jats_parse(spark, sf):
     ).orderBy("url")
 
 
-# -- F5c/S13: Desy JSONL parse with error-row preservation (rows-only) -------------------------------------------------------------------
-@_q("f5c_desy_parse")
+# -- F5c/S13: Desy JSONL parse with error-row preservation (predictive oracle) -------------------------------------------------------------------
+@_q(
+    "f5c_desy_parse",
+    """SELECT 'https://s3.example.org/d/' || doc_id || '.jsonl' AS url,
+       'T' || doc_id AS title,
+       CAST(NULL AS VARCHAR) AS error,
+       CAST(NULL AS VARCHAR) AS source_data,
+       '10.1000/d' || doc_id AS doi
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT 'https://s3.example.org/d/' || doc_id || '.jsonl',
+       NULL, 'ValueError: Expecting value: line 1 column 1 (char 0)',
+       'not json at all', NULL
+    FROM documents WHERE doc_id < 50 AND doc_id % 5 = 0
+    ORDER BY url, title""",
+)
 def f5c_desy_parse(spark, sf):
     from hepcrawl_spark.parsers.desy import parse_desy_pages
 
-    docs = _docs(spark, sf).limit(50)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 50)
     line = F.concat(
         F.lit('{"titles": [{"source": "desy", "title": "T'),
         F.col("doc_id").cast("string"),
@@ -2277,12 +2345,24 @@ def f5c_desy_parse(spark, sf):
     ).orderBy("url", "title")
 
 
-# -- F5d: Crossref JSON parse (rows-only) ------------------------------------------------------------------------------------------------
-@_q("f5d_crossref_parse")
+# -- F5d: Crossref JSON parse (predictive oracle) ------------------------------------------------------------------------------------------------
+@_q(
+    "f5d_crossref_parse",
+    """SELECT 'https://api.crossref.org/works/10.1103/x' || doc_id AS url,
+       '10.1103/x' || doc_id AS doi,
+       'T' || doc_id AS title,
+       'article' AS document_type,
+       'J' AS journal_title,
+       CAST(2015 AS INTEGER) AS year,
+       '2015-11-02' AS imprint_date,
+       '100' AS page_start, '110' AS page_end,
+       'Doe, J.' AS first_author
+    FROM documents WHERE doc_id < 50 ORDER BY url""",
+)
 def f5d_crossref_parse(spark, sf):
     from hepcrawl_spark.parsers.crossref import parse_crossref_pages
 
-    docs = _docs(spark, sf).limit(50)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 50)
     body = F.concat(
         F.lit('{"message": {"DOI": "10.1103/x'),
         F.col("doc_id").cast("string"),
@@ -2305,12 +2385,22 @@ def f5d_crossref_parse(spark, sf):
     ).orderBy("url")
 
 
-# -- F5e: MARCXML parse (rows-only) -------------------------------------------------------------------------------------------------------
-@_q("f5e_marcxml_parse")
+# -- F5e: MARCXML parse (predictive oracle) -------------------------------------------------------------------------------------------------------
+@_q(
+    "f5e_marcxml_parse",
+    """SELECT 'https://oai.example.org/m/' || doc_id AS url,
+       'Title ' || doc_id AS title,
+       '2010-01-26' AS date_published,
+       'J' AS journal_title,
+       CAST(2010 AS INTEGER) AS journal_year,
+       '10.1155/m' || doc_id AS doi,
+       'Doe, Jane' AS first_author
+    FROM documents WHERE doc_id < 50 ORDER BY url""",
+)
 def f5e_marcxml_parse(spark, sf):
     from hepcrawl_spark.parsers.marcxml import parse_marcxml_pages
 
-    docs = _docs(spark, sf).limit(50)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 50)
     body = F.concat(
         F.lit('<record><datafield tag="024" ind1="7" ind2=" ">'
               '<subfield code="a">10.1155/m'),
@@ -2338,12 +2428,23 @@ def f5e_marcxml_parse(spark, sf):
     ).orderBy("url")
 
 
-# -- F5f: APS JSON parse (rows-only) ------------------------------------------------------------------------------------------------------
-@_q("f5f_aps_parse")
+# -- F5f: APS JSON parse (predictive oracle) ------------------------------------------------------------------------------------------------------
+@_q(
+    "f5f_aps_parse",
+    """SELECT 'https://api.aps.org/p/' || doc_id AS url,
+       '10.1103/a' || doc_id AS doi,
+       'T' || doc_id AS title,
+       CAST(11 AS INTEGER) AS page_nr,
+       'PRX' AS journal_title,
+       CAST(2015 AS INTEGER) AS journal_year,
+       'OSQAR' AS collab,
+       'Inst' AS first_aff
+    FROM documents WHERE doc_id < 50 ORDER BY url""",
+)
 def f5f_aps_parse(spark, sf):
     from hepcrawl_spark.parsers.aps import parse_aps_pages
 
-    docs = _docs(spark, sf).limit(50)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 50)
     body = F.concat(
         F.lit('{"data": [{"identifiers": {"doi": "10.1103/a'),
         F.col("doc_id").cast("string"),
@@ -2371,12 +2472,21 @@ def f5f_aps_parse(spark, sf):
     ).orderBy("url")
 
 
-# -- F5g: NLM parse with pub-status gate (rows-only) --------------------------------------------------------------------------------------
-@_q("f5g_nlm_parse")
+# -- F5g: NLM parse with pub-status gate (predictive oracle) --------------------------------------------------------------------------------------
+@_q(
+    "f5g_nlm_parse",
+    """SELECT 'https://iop.example.org/n/' || doc_id AS url,
+       'T' || doc_id AS title,
+       '2015-03' AS date_published,
+       '8' AS page_nr,
+       CAST(2015 AS INTEGER) AS journal_year,
+       '10.1309/n' || doc_id AS doi
+    FROM documents WHERE doc_id < 60 AND doc_id % 4 <> 0 ORDER BY url""",
+)
 def f5g_nlm_parse(spark, sf):
     from hepcrawl_spark.parsers.nlm import parse_nlm_pages
 
-    docs = _docs(spark, sf).limit(60)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 60)
     status = F.when(F.col("doc_id") % 4 == 0, F.lit("aheadofprint")).otherwise(
         F.lit("ppublish")
     )
@@ -2405,12 +2515,25 @@ def f5g_nlm_parse(spark, sf):
     ).orderBy("url")
 
 
-# -- F5h: Elsevier CONSYN parse (rows-only) -----------------------------------------------------------------------------------------------
-@_q("f5h_elsevier_parse")
+# -- F5h: Elsevier CONSYN parse (predictive oracle) -----------------------------------------------------------------------------------------------
+@_q(
+    "f5h_elsevier_parse",
+    """SELECT 'https://consyn.elsevier.com/e/' || doc_id AS url,
+       'ET ' || doc_id AS title,
+       'A<sub>b</sub>' AS abstract,
+       'full-length article' AS article_type,
+       'Nucl. Phys. B' AS journal_title,
+       '2020-04-01' AS publication_date,
+       CAST(2020 AS INTEGER) AS year,
+       '1' AS page_start, '9' AS page_end,
+       '10.1016/e' || doc_id AS doi,
+       'Doe, J.' AS first_author
+    FROM documents WHERE doc_id < 50 ORDER BY url""",
+)
 def f5h_elsevier_parse(spark, sf):
     from hepcrawl_spark.parsers.elsevier import parse_elsevier_pages
 
-    docs = _docs(spark, sf).limit(50)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 50)
     body = F.concat(
         F.lit('<doc><RDF><Description><doi>10.1016/e'),
         F.col("doc_id").cast("string"),

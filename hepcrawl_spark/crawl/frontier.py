@@ -55,7 +55,12 @@ from ..operators.cuckoo import (
     cuckoo_might_contain_udf,
 )
 from ..operators.dedup import crawl_once_gate
-from ..operators.politeness import decay_priority, robots_gate, select_wave
+from ..operators.politeness import (
+    adaptive_host_salt,
+    decay_priority,
+    robots_gate,
+    select_wave,
+)
 from ..sources import merge_store
 
 
@@ -63,7 +68,20 @@ from ..sources import merge_store
 class CrawlConfig:
     max_iterations: int = 10
     max_per_host: int = 100          # politeness cap per host per wave
-    salt: int = 4                    # hot-host salting factor
+    salt: int = 4                    # hot-host salting factor (salt_mode=
+                                     # 'static': uniform for every host;
+                                     # 'adaptive': the base for cold hosts)
+    salt_mode: str = "static"        # 'adaptive' recomputes PER-HOST salt
+                                     # factors every iteration from the live
+                                     # frontier's skew (adaptive_host_salt:
+                                     # hot host shards ~ its pending count /
+                                     # (k x median)) — SURVEY §7(e), the
+                                     # arxiv.org hotspot. One extra tiny
+                                     # groupBy(host) agg per wave, joined
+                                     # broadcast; 'static' is byte-exact
+                                     # historical behavior
+    adaptive_salt_k: int = 8         # hot threshold: pending > k x median
+    adaptive_max_salt: int = 256     # per-host shard cap in adaptive mode
     filter_mode: str = "bloom"       # 'bloom' (broadcast sharded filter,
                                      # wave-hash deltas via the driver)
                                      # | 'bloom_table' (filter lives as a
@@ -73,7 +91,19 @@ class CrawlConfig:
                                      # 10^10-URL path)
                                      # | 'cuckoo' (resident delete-capable
                                      # filter, per-wave delta inserts)
+                                     # | 'auto' (bloom under
+                                     # auto_filter_threshold expected urls,
+                                     # bloom_table above — the default a
+                                     # deployment should run)
                                      # | 'none'
+    auto_filter_threshold: int = 5_000_000
+                                     # 'auto' cutover: above this expected
+                                     # total the broadcast-bloom mode's
+                                     # driver costs (full shard dict
+                                     # resident + re-broadcast, 8 B/url/wave
+                                     # of delta hashes collected) stop being
+                                     # trivial, so the filter must live as a
+                                     # cogroup-probed table instead
     parse_mode: str = "stats"        # 'stats' (per-page feature extraction
                                      # -> records snapshot) | 'none'
     bloom_fpp: float = 0.01
@@ -240,6 +270,26 @@ def _snapshot(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def _persist_cuckoo(spark: SparkSession, ccf: ShardedCuckoo, path: str) -> None:
+    """Persist the resident filter's shard blobs so resume restores it in
+    O(filter bytes). The blobs live on the driver in this mode (they are the
+    broadcast source), so the write is a small driver-built DataFrame — at
+    10^10 urls the filter would instead live as a (shard, table) Iceberg
+    table maintained executor-side, like bloom_table."""
+    spark.createDataFrame(
+        [(s, nb, tb) for s, (nb, tb) in ccf.to_blobs().items()],
+        "shard int, n_buckets long, table binary",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _load_cuckoo(spark: SparkSession, path: str) -> ShardedCuckoo:
+    rows = spark.read.parquet(path).collect()
+    return ShardedCuckoo.from_blobs(
+        {r["shard"]: (r["n_buckets"], bytes(r["table"])) for r in rows},
+        n_shards=len(rows),
+    )
+
+
 def _write_manifest(state_dir: str, iteration: int, extra: dict | None = None) -> None:
     manifest = {"iteration": iteration, **(extra or {})}
     tmp = os.path.join(state_dir, "_manifest.tmp")
@@ -282,6 +332,15 @@ def run_crawl(
     set (making the run checkpoint-resumable), else in a temp dir.
     """
     cfg = config or CrawlConfig()
+    if cfg.filter_mode == "auto":
+        from dataclasses import replace as _dc_replace
+
+        cfg = _dc_replace(
+            cfg,
+            filter_mode="bloom"
+            if cfg.n_expected_urls <= cfg.auto_filter_threshold
+            else "bloom_table",
+        )
     state_dir = cfg.state_dir or f"/tmp/hepcrawl_spark_state_{os.getpid()}_{id(seeds)}"
     os.makedirs(state_dir, exist_ok=True)
 
@@ -418,18 +477,30 @@ def run_crawl(
     elif cfg.filter_mode == "cuckoo":
         # ONE resident filter for the whole run, sized for the expected
         # total; every iteration applies the wave DELTA (insert_batch of
-        # new keys) instead of the round-2 full O(|seen|) rebuild.
-        if resume and start_iter > 0:
+        # new keys) instead of the round-2 full O(|seen|) rebuild. Durable
+        # commits persist the shard blobs, so resume restores the filter in
+        # O(filter bytes) — no O(|seen|) rebuild at all.
+        m = read_manifest(state_dir) if resume else None
+        if m is not None and m.get("cuckoo") and os.path.exists(m["cuckoo"]):
+            ccf = _load_cuckoo(spark, m["cuckoo"])
+            if invalidated_hashes:
+                # legit delete: the restored filter really contains every
+                # url_seen entry of its snapshot, invalidated ones included
+                import numpy as np
+
+                ccf.delete_batch(np.array(invalidated_hashes, dtype=np.int64))
+        elif resume and start_iter > 0:
+            # pre-persistence snapshot: rebuild from url_seen — which the
+            # recrawl sweep above ALREADY filtered, so there is nothing to
+            # delete. Deleting never-inserted keys here would evict
+            # colliding fingerprints of live keys and turn them into false
+            # negatives (round-3 ADVICE).
             ccf = build_cuckoo(
                 url_seen.select(F.xxhash64("url").alias("url_hash")),
                 n_items=max(resumed_seen_size, cfg.n_expected_urls, 64),
             )
         else:
             ccf = ShardedCuckoo.sized_for(max(cfg.n_expected_urls, 64))
-        if invalidated_hashes:
-            import numpy as np
-
-            ccf.delete_batch(np.array(invalidated_hashes, dtype=np.int64))
 
     def _metrics_and_filter_delta(fetched: DataFrame):
         """ONE pass over the fetched wave yields per-partition metrics AND
@@ -505,8 +576,19 @@ def run_crawl(
         # what later retires rows from the frontier — robots-disallowed URLs
         # must be removed too, or they are re-selected every iteration and
         # permanently starve allowed same-host URLs below the politeness cap.
+        host_salts = (
+            adaptive_host_salt(
+                frontier,
+                k_times_median=cfg.adaptive_salt_k,
+                max_salt=cfg.adaptive_max_salt,
+            )
+            if cfg.salt_mode == "adaptive"
+            else None
+        )
         wave_pre = (
-            select_wave(frontier, cfg.max_per_host, cfg.salt)
+            select_wave(
+                frontier, cfg.max_per_host, cfg.salt, host_salts=host_salts
+            )
             .drop("wave_rank")
             .persist()
         )
@@ -613,6 +695,9 @@ def run_crawl(
                 # with the manifest or the vacuum strands it
                 bloom_tbl = _snapshot(bloom_tbl, f"{it_dir}/bloom")
                 extra["bloom"] = f"{it_dir}/bloom"
+            if ccf is not None:
+                _persist_cuckoo(spark, ccf, f"{it_dir}/cuckoo")
+                extra["cuckoo"] = f"{it_dir}/cuckoo"
             _write_manifest(state_dir, it, extra)
             wave_pre.unpersist()
             # vacuum old snapshots here too: consecutive empty-fetch
@@ -696,21 +781,27 @@ def run_crawl(
         frontier_cols = [
             "url", "host", "priority", "discovered_ts", "attempt", "meta"
         ]
-        next_frontier = remaining.unionByName(
-            candidates.select(*frontier_cols)
-        )
+        retry = None
         if cfg.max_attempts > 1:
             # P6 retry/backoff (reference RetryMiddleware; decay_priority is
             # the oracle-gated twin): gated urls with NO corpus row are this
             # wave's failed fetches. They were retired with wave_pre above;
             # re-admit them with attempt+1 and decayed priority until
             # max_attempts. Pay-for-use: one extra anti-join per iteration
-            # only when enabled.
+            # only when enabled. The retry row WINS over a same-wave outlink
+            # rediscovery of the same url (anti-join below) — otherwise the
+            # frontier holds duplicate rows whose attempt=0 copy keeps
+            # respawning fresh retries past max_attempts.
             failed = gated.join(corpus.select("url"), "url", "left_anti")
             retry = decay_priority(
                 failed.filter(F.col("attempt") < cfg.max_attempts - 1),
                 decay=cfg.retry_decay,
             )
+            candidates = candidates.join(retry.select("url"), "url", "left_anti")
+        next_frontier = remaining.unionByName(
+            candidates.select(*frontier_cols)
+        )
+        if retry is not None:
             next_frontier = next_frontier.unionByName(
                 retry.select(*frontier_cols)
             )
@@ -846,6 +937,11 @@ def run_crawl(
                 )
             if new_bloom is not None:
                 manifest_extra["bloom"] = f"{it_dir}/bloom"
+            if ccf is not None:
+                # the resident filter already absorbed this wave's delta —
+                # persist its blobs beside the snapshot for O(bytes) resume
+                _persist_cuckoo(spark, ccf, f"{it_dir}/cuckoo")
+                manifest_extra["cuckoo"] = f"{it_dir}/cuckoo"
             _write_manifest(state_dir, it, manifest_extra)
 
         gated.unpersist()

@@ -123,39 +123,43 @@ def robots_gate_rfc(
     url's path, the LONGEST wins; Allow beats Disallow at equal length; a
     url matching no rule (or whose host has no rules) is allowed.
 
-    One broadcast join + one per-url aggregate: the verdict is
-    max((len, is_allow)) over matching rules — struct max gives longest-
-    prefix-then-allow precedence in a single map-side-combinable agg."""
+    Zero frontier shuffle: the rules collapse to one broadcastable row per
+    host carrying an array of (prefix, is_allow) structs; each frontier row
+    picks its verdict with ``F.aggregate`` over the matching entries —
+    max((len, is_allow)) gives longest-prefix-then-allow precedence without
+    fanning the frontier out per rule or grouping it back. (The previous
+    join+groupBy formulation also broke on frontiers carrying a map-typed
+    ``meta`` column — maps are unorderable grouping keys.)"""
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
-    r = rules.select(
-        F.col("host").alias("_r_host"),
-        F.col("path_prefix").alias("_r_prefix"),
-        (F.col("allow") == "allow").alias("_r_allow"),
+    host_rules = rules.groupBy(F.col("host").alias("_r_host")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("path_prefix").alias("p"),
+                (F.col("allow") == "allow").alias("a"),
+            )
+        ).alias("_rules")
     )
-    key = frontier.columns
-    matched = (
+    best = F.aggregate(
+        F.filter(F.col("_rules"), lambda s: F.col("_path").startswith(s["p"])),
+        F.lit(None).cast("struct<l:int,a:boolean>"),
+        lambda acc, s: F.when(
+            acc.isNull()
+            | (F.length(s["p"]) > acc["l"])
+            | ((F.length(s["p"]) == acc["l"]) & s["a"]),
+            F.struct(F.length(s["p"]).alias("l"), s["a"].alias("a")),
+        ).otherwise(acc),
+    )
+    return (
         frontier.withColumn("_path", path)
         .join(
-            F.broadcast(r),
-            (F.col("host") == F.col("_r_host"))
-            & F.col("_path").startswith(F.col("_r_prefix")),
+            F.broadcast(host_rules),
+            F.col("host") == F.col("_r_host"),
             "left",
         )
-        .groupBy(*key)
-        .agg(
-            F.max(
-                F.when(
-                    F.col("_r_prefix").isNotNull(),
-                    F.struct(
-                        F.length("_r_prefix").alias("l"), F.col("_r_allow").alias("a")
-                    ),
-                )
-            ).alias("_best")
-        )
+        .withColumn("_best", best)
+        .filter(F.col("_best").isNull() | F.col("_best.a"))
+        .drop("_path", "_r_host", "_rules", "_best")
     )
-    return matched.filter(
-        F.col("_best").isNull() | F.col("_best.a")
-    ).drop("_best")
 
 
 def crawl_delays(rules: DataFrame) -> DataFrame:

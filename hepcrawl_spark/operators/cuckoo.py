@@ -304,9 +304,15 @@ def build_cuckoo(
         .collect()
     )
     blobs = {r["shard"]: (r["n_buckets"], r["table"]) for r in rows}
-    # empty shards still need a (tiny) filter
-    for s in range(n_shards):
-        blobs.setdefault(s, (8, np.zeros((8, _SLOTS), dtype=np.uint16).tobytes()))
+    # empty shards get a FULL-CAPACITY filter, not a token 8-bucket one: the
+    # resident lifecycle (frontier.py) keeps this object for the whole run
+    # and delta-inserts whole waves into it — an undersized shard would
+    # overflow on the first real wave after a small build input
+    if len(blobs) < n_shards:
+        empty = CuckooFilter.sized_for(per_shard)
+        empty_blob = (empty.n_buckets, empty.table.tobytes())
+        for s in range(n_shards):
+            blobs.setdefault(s, empty_blob)
     return ShardedCuckoo.from_blobs(blobs, n_shards)
 
 

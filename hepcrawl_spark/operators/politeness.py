@@ -52,6 +52,42 @@ def detect_hot_hosts(frontier: DataFrame, k_times_median: int = 8) -> DataFrame:
     )
 
 
+def adaptive_host_salt(
+    frontier: DataFrame,
+    k_times_median: int = 8,
+    max_salt: int = 256,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host salting factors sized to the CURRENT frontier's skew
+    (SURVEY §7 hard part (e): "the salting factor must adapt per
+    iteration"; the north rule's arxiv.org hotspot): a host with ``n``
+    pending urls gets ``ceil(n / (k x median))`` shards (capped at
+    ``max_salt``), so every (host, shard) politeness window holds at most
+    ~k x median rows no matter how hot the host — a static salt=4 would
+    still put 1/4 of a 10^8-url host on each of 4 tasks.
+
+    One cheap groupBy(host) aggregation per iteration; the result holds
+    HOT hosts only (factor 1 implied for the rest), so it stays tiny and
+    broadcastable. Returns (host, salt)."""
+    counts = frontier.groupBy(host_col).agg(F.count("*").alias("n"))
+    med = counts.agg(
+        F.greatest(
+            F.lit(1.0), F.percentile_approx("n", 0.5).cast("double")
+        ).alias("m")
+    )
+    return (
+        counts.crossJoin(F.broadcast(med))
+        .filter(F.col("n") > F.col("m") * k_times_median)
+        .select(
+            F.col(host_col).alias("host"),
+            F.least(
+                F.lit(max_salt),
+                F.ceil(F.col("n") / (F.col("m") * k_times_median)).cast("int"),
+            ).alias("salt"),
+        )
+    )
+
+
 def select_wave(
     frontier: DataFrame,
     max_per_host: int,
@@ -60,6 +96,7 @@ def select_wave(
     order_cols: tuple[str, ...] = ("priority", "discovered_ts", "url"),
     host_caps: DataFrame | None = None,
     wave_budget_s: float | None = None,
+    host_salts: DataFrame | None = None,
 ) -> DataFrame:
     """P1/P2/P4: per-host politeness wave.
 
@@ -73,7 +110,13 @@ def select_wave(
     Crawl-delay: 10 against a 60 s wave budget gets at most 6 fetches that
     wave. Broadcast left join (one small row per HOST); hosts without a
     declared delay keep ``max_per_host``. Default None preserves the exact
-    historical behavior (p1/p4 oracles)."""
+    historical behavior (p1/p4 oracles).
+
+    ``host_salts`` (host, salt) — ``adaptive_host_salt`` output — replaces
+    the uniform ``salt`` with a PER-HOST factor: listed (hot) hosts split
+    into their own shard count, unlisted hosts keep the uniform base. The
+    per-host politeness cap divides across that host's shards exactly as in
+    the uniform case."""
     cap_col = F.lit(max_per_host)
     if host_caps is not None:
         if wave_budget_s is None:
@@ -92,9 +135,28 @@ def select_wave(
         ).drop("_cap_host")
         cap_col = F.least(F.coalesce(F.col("_host_cap"), F.lit(max_per_host)),
                           F.lit(max_per_host))
-    if salt > 1:
-        cap_col = F.greatest(F.lit(1), (cap_col / salt).cast("int"))
-    part = salted_host(host_col, order_cols[-1], salt)
+    drop_cols = ["_host_cap"] if host_caps is not None else []
+    if host_salts is not None:
+        salts = host_salts.select(
+            F.col("host").alias("_s_host"), F.col("salt").alias("_host_salt")
+        )
+        frontier = frontier.join(
+            F.broadcast(salts), F.col(host_col) == F.col("_s_host"), "left"
+        ).drop("_s_host")
+        per_salt = F.coalesce(F.col("_host_salt"), F.lit(max(salt, 1)))
+        cap_col = F.greatest(F.lit(1), (cap_col / per_salt).cast("int"))
+        part = F.when(per_salt <= 1, F.col(host_col)).otherwise(
+            F.concat(
+                F.col(host_col),
+                F.lit("#"),
+                F.pmod(F.xxhash64(F.col(order_cols[-1])), per_salt).cast("string"),
+            )
+        )
+        drop_cols.append("_host_salt")
+    else:
+        if salt > 1:
+            cap_col = F.greatest(F.lit(1), (cap_col / salt).cast("int"))
+        part = salted_host(host_col, order_cols[-1], salt)
     w = (
         Window.partitionBy(part)
         .orderBy(F.col(order_cols[0]).desc(), *[F.col(c) for c in order_cols[1:]])
@@ -103,7 +165,7 @@ def select_wave(
         frontier.withColumn("wave_rank", F.row_number().over(w))
         .filter(F.col("wave_rank") <= cap_col)
     )
-    return out.drop("_host_cap") if host_caps is not None else out
+    return out.drop(*drop_cols) if drop_cols else out
 
 
 def crawl_order(

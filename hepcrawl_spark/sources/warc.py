@@ -108,7 +108,13 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
         return None, None, payload
     head = payload[:end]
     status_line = head.split(b"\r\n", 1)[0].split()
-    status = int(status_line[1]) if len(status_line) > 1 else None
+    # real Common-Crawl archives contain the occasional corrupt status line
+    # (non-numeric token); degrade to status=None like every other partial-
+    # record path here instead of ValueError-ing the whole task
+    try:
+        status = int(status_line[1]) if len(status_line) > 1 else None
+    except ValueError:
+        status = None
     headers = _parse_headers(head)
     return status, headers.get("content-type"), payload[end + 4 :]
 

@@ -171,3 +171,24 @@ def test_sharded_bloom_delta_update_routes_to_shards():
     sb2.add(one)
     changed = [s for s, bf in sb2.shards.items() if bf.bits.tobytes() != pre[s]]
     assert changed == [sid] or changed == []  # [] iff bits already set
+
+
+def test_cuckoo_empty_shards_sized_for_full_capacity(spark):
+    """build_cuckoo over an input that touches only a few shards must leave
+    the untouched shards at FULL per-shard capacity: the resident lifecycle
+    keeps this object for the whole run, and a token 8-bucket default
+    overflows on the first real delta wave (round-3 ADVICE repro:
+    2735/5000 delta inserts failed and killed the resumed crawl)."""
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.operators.cuckoo import build_cuckoo
+
+    # one shard's worth of keys: shard = pmod(hash, 32) == 0 only
+    df = spark.range(0, 100).select((F.col("id") * 32).alias("url_hash"))
+    ccf = build_cuckoo(df, n_shards=32, n_items=100_000)
+    sizes = {cf.n_buckets for cf in ccf.shards.values()}
+    assert min(sizes) >= 1024  # no token 8-bucket shards
+    # a big delta across ALL shards inserts cleanly
+    delta = np.arange(0, 50_000, dtype=np.int64) * 2654435761 % (2**62)
+    assert ccf.insert_batch(delta.astype(np.uint64)) == 0
+    assert ccf.might_contain(delta.astype(np.uint64)).all()

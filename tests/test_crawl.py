@@ -109,6 +109,54 @@ def test_bloom_table_mode_keeps_filter_off_the_driver(spark, corpus, seeds, tmp_
     assert len(res2.iterations) >= 1
 
 
+def test_auto_filter_mode_switches_on_scale(spark, corpus, seeds, tmp_path, monkeypatch):
+    """filter_mode='auto': below the threshold the cheap broadcast bloom
+    runs; above it the run MUST take the zero-driver cogroup path — same
+    driver-side tripwires as the explicit bloom_table test. Results match
+    the explicit modes either way."""
+    import hepcrawl_spark.crawl.frontier as FR
+
+    # small expected scale -> broadcast bloom (driver path allowed)
+    sd_small = str(tmp_path / "auto_small")
+    res_small = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=3, max_per_host=15, salt=1,
+                    filter_mode="auto", state_dir=sd_small,
+                    n_expected_urls=5000),
+    )
+    assert res_small.total_fetched > 0
+
+    # the caller's config object is not mutated by the auto resolution
+    probe_cfg = CrawlConfig(max_iterations=1, max_per_host=5, salt=1,
+                            filter_mode="auto",
+                            state_dir=str(tmp_path / "auto_nm"),
+                            n_expected_urls=5000)
+    run_crawl(spark, corpus, seeds, probe_cfg)
+    assert probe_cfg.filter_mode == "auto"
+
+    # large expected scale -> bloom_table; any driver-side filter touch raises
+    def _boom(*a, **k):
+        raise AssertionError("driver-side filter state touched in auto mode")
+
+    monkeypatch.setattr(FR, "build_bloom_sharded", _boom)
+    monkeypatch.setattr(FR, "sharded_might_contain_udf", _boom)
+    monkeypatch.setattr(FR.ShardedBloom, "add", _boom)
+    monkeypatch.setattr(FR.ShardedBloom, "might_contain", _boom)
+    sd_big = str(tmp_path / "auto_big")
+    res_big = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=3, max_per_host=15, salt=1,
+                    filter_mode="auto", state_dir=sd_big,
+                    n_expected_urls=6_000_000),  # > auto_filter_threshold
+    )
+    assert res_big.total_fetched > 0
+    # both resolutions produce the same crawl
+    assert _final_seen(spark, sd_small) == _final_seen(spark, sd_big)
+    assert [i.scheduled for i in res_small.iterations] == [
+        i.scheduled for i in res_big.iterations
+    ]
+
+
 def test_cuckoo_resident_delta_no_per_iteration_rebuild(spark, corpus, seeds, tmp_path, monkeypatch):
     """The cuckoo filter must be built at most once (resume) and then
     delta-updated; the round-2 O(|seen|) rebuild per iteration is a scale
@@ -133,7 +181,23 @@ def test_cuckoo_resident_delta_no_per_iteration_rebuild(spark, corpus, seeds, tm
                     state_dir=sd, n_expected_urls=5000),
         resume=True,
     )
-    assert len(calls) == 1  # resume: ONE rebuild from url_seen, then deltas
+    # resume restores the persisted shard blobs — zero rebuilds, ever
+    assert calls == []
+    # only a pre-persistence snapshot (no cuckoo dir) falls back to ONE
+    # rebuild from url_seen
+    import shutil as _sh
+
+    from hepcrawl_spark.crawl.frontier import read_manifest
+
+    m = read_manifest(sd)
+    _sh.rmtree(m["cuckoo"])
+    run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=m["iteration"] + 2, max_per_host=15, salt=1,
+                    filter_mode="cuckoo", state_dir=sd, n_expected_urls=5000),
+        resume=True,
+    )
+    assert len(calls) == 1
 
 
 def test_meta_threads_through_two_hop_chain(spark, corpus, seeds, tmp_path):
@@ -393,6 +457,64 @@ def test_failed_fetch_retry_backoff(spark, corpus, seeds, tmp_path):
     )
     assert spark.read.parquet(f"{sd2}/iter_0000/frontier").filter(
         "host = 'ghost.example.org'").count() == 0
+
+
+def test_adaptive_salt_mode_in_live_loop(spark, corpus, seeds, tmp_path):
+    """salt_mode='adaptive' recomputes per-host factors each wave. On the
+    balanced synthetic corpus no host crosses the hot threshold, so the
+    crawl must be IDENTICAL to the static run (the adaptive machinery adds
+    only the tiny per-wave host agg); a skewed frontier is covered at the
+    operator level in test_politeness."""
+    sd_a = str(tmp_path / "adaptive")
+    res_a = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=3, max_per_host=15, salt=1,
+                    filter_mode="none", state_dir=sd_a, salt_mode="adaptive"),
+    )
+    sd_s = str(tmp_path / "static")
+    res_s = run_crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_iterations=3, max_per_host=15, salt=1,
+                    filter_mode="none", state_dir=sd_s),
+    )
+    assert res_a.total_fetched == res_s.total_fetched > 0
+    assert _final_seen(spark, sd_a) == _final_seen(spark, sd_s)
+
+
+def test_retry_row_wins_over_same_wave_rediscovery(spark, tmp_path):
+    """A url whose fetch failed AND which a fetched page rediscovered as an
+    outlink in the same wave must yield ONE frontier row (the attempt+1
+    retry), not two — the attempt=0 duplicate would respawn fresh retries
+    forever, retrying a dead url past max_attempts (round-3 ADVICE)."""
+    ghost_url = "https://ghost.example.org/nope"
+    pages = (
+        spark.createDataFrame(
+            [("https://a.example.org/p1", f'x <a href="{ghost_url}">g</a>')],
+            "url string, text string",
+        )
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("html", F.encode("text", "UTF-8"))
+        .withColumn("lang", F.lit("en"))
+    )
+    seeds2 = spark.createDataFrame(
+        [
+            ("https://a.example.org/p1", "a.example.org", 1.0),
+            (ghost_url, "ghost.example.org", 8.0),
+        ],
+        "url string, host string, priority double",
+    ).withColumn("discovered_ts", F.current_timestamp())
+    sd = str(tmp_path / "rr")
+    run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=1, max_per_host=10, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10,
+                    max_attempts=3, retry_decay=0.5),
+    )
+    rows = spark.read.parquet(f"{sd}/iter_0000/frontier").filter(
+        F.col("url") == ghost_url
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["attempt"] == 1 and rows[0]["priority"] == 4.0
 
 
 def test_pagerank_priority_refresh(spark, corpus, seeds, tmp_path):

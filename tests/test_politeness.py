@@ -101,3 +101,45 @@ def test_host_caps_from_crawl_delay(spark):
     )
     got_s = {r[0]: r[1] for r in wave_s.groupBy("host").count().collect()}
     assert got_s["slow.org"] <= 2 and got_s["plain.org"] <= 10
+
+
+def test_adaptive_host_salt_bounds_hot_host_shards(spark):
+    """SURVEY §7(e): the salting factor adapts to the live frontier's skew.
+    A host with 250x the median pending count must be split into enough
+    shards that no (host, shard) politeness window exceeds ~k x median
+    rows — a static salt=4 would leave 1/4 of the hot host on each task."""
+    hot = [(f"https://arxiv.org/abs/{i}", "arxiv.org", 1.0, TS(2024, 1, 1))
+           for i in range(5000)]
+    cold = [(f"https://h{h}.org/p/{i}", f"h{h}.org", 1.0, TS(2024, 1, 1))
+            for h in range(10) for i in range(20)]
+    frontier = spark.createDataFrame(
+        hot + cold,
+        "url string, host string, priority double, discovered_ts timestamp",
+    )
+    salts = {r["host"]: r["salt"]
+             for r in P.adaptive_host_salt(frontier, k_times_median=8).collect()}
+    # only the hot host is listed, with ~n/(k*median) = 5000/160 ~ 32 shards
+    assert set(salts) == {"arxiv.org"}
+    assert 16 <= salts["arxiv.org"] <= 64
+    # shard balance: recompute the salted key the window partitions on
+    factor = salts["arxiv.org"]
+    shard_counts = [
+        r["n"]
+        for r in frontier.filter("host = 'arxiv.org'")
+        .groupBy(F.pmod(F.xxhash64("url"), F.lit(factor)).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(shard_counts) == factor
+    assert max(shard_counts) <= 2 * 8 * 20  # <= c x (k x median), c=2
+    # the politeness cap still divides exactly across the hot host's shards
+    wave = P.select_wave(
+        frontier, max_per_host=64, salt=1,
+        host_salts=P.adaptive_host_salt(frontier, k_times_median=8),
+    )
+    per_host = {r["host"]: r["n"]
+                for r in wave.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host["arxiv.org"] <= 64
+    assert all(v <= 64 for v in per_host.values())
+    # cold hosts keep the base (salt=1) behavior: full cap available
+    assert per_host["h0.org"] == 20

@@ -107,6 +107,33 @@ def test_rfc_gate_equal_length_allow_beats_disallow(spark):
     assert robots_gate_rfc(frontier, rules).count() == 1
 
 
+def test_rfc_gate_map_meta_column(spark):
+    """run_crawl frontiers carry a map<string,string> meta column; the gate
+    must not group by it (maps are unorderable grouping keys — the old
+    join+groupBy formulation raised AnalysisException). Columns and row
+    multiplicity must survive untouched."""
+    rules = parse_robots_txt(
+        spark.createDataFrame([("h.org", SIMPLE)], "host string, text string")
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("https://h.org/private/secret", "h.org", {"hop": "1"}),
+            ("https://h.org/open", "h.org", {"hop": "2"}),
+            ("https://h.org/open", "h.org", {"hop": "3"}),  # dup url kept
+        ],
+        "url string, host string, meta map<string,string>",
+    )
+    out = robots_gate_rfc(frontier, rules)
+    assert out.columns == ["url", "host", "meta"]
+    rows = sorted(
+        (r["url"], r["meta"]["hop"]) for r in out.collect()
+    )
+    assert rows == [
+        ("https://h.org/open", "2"),
+        ("https://h.org/open", "3"),
+    ]
+
+
 def test_parsed_rules_feed_legacy_gate(spark):
     """The parsed table plugs straight into politeness.robots_gate
     (disallow prefixes only — the pre-RFC fast path)."""
