@@ -96,6 +96,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+# per-(session, sf) memo for the two stateful gate queries (d1d's post-delete
+# resident filter, d1e's merged-table dir): state setup runs once; repeat
+# constructions return pure, plan-auditable DataFrames over that state
+_STATE_CACHE: dict = {}
 _ORACLES: dict[str, str] = {}
 
 
@@ -226,20 +231,35 @@ def d1c_crawl_once_cuckoo(spark, sf):
     ORDER BY f.doc_id""",
 )
 def d1d_crawl_once_cuckoo_delete(spark, sf):
+    # STATE SETUP (build + delete-delta) is separated from the returned
+    # plan and memoized per (session, sf): constructing the DataFrame a
+    # second time re-uses the post-delete filter instead of replaying the
+    # mutation — so the query builder is pure and plan-auditable alongside
+    # every other gate query (round-3 verdict order 8).
     import numpy as np
 
     from hepcrawl_spark.operators.cuckoo import build_cuckoo, cuckoo_might_contain_udf
 
     fr = _frontier(spark, sf)
     seen = _seen(spark, sf)
-    cf = build_cuckoo(seen.select(F.xxhash64("url").alias("url_hash")), n_shards=8)
-    # invalidation delta: O(|invalidated|), never a rebuild
+    key = ("d1d_filter", id(spark), sf)
+    cf = _STATE_CACHE.get(key)
+    if cf is None:
+        cf = build_cuckoo(seen.select(F.xxhash64("url").alias("url_hash")), n_shards=8)
+        # invalidation delta: O(|invalidated|), never a rebuild
+        inval = np.array(
+            [
+                r["h"]
+                for r in _pages(spark, sf)
+                .filter((F.col("doc_id") % 12) == 6)
+                .select(F.xxhash64("url").alias("h"))
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+        cf.delete_batch(inval)
+        _STATE_CACHE[key] = cf
     inval_urls = _pages(spark, sf).filter((F.col("doc_id") % 12) == 6).select("url")
-    inval = np.array(
-        [r["h"] for r in inval_urls.select(F.xxhash64("url").alias("h")).collect()],
-        dtype=np.int64,
-    )
-    cf.delete_batch(inval)
     valid_seen = seen.join(inval_urls, "url", "left_anti")
     probe = cuckoo_might_contain_udf(spark, cf)
     gated = D.crawl_once_gate(
@@ -268,13 +288,21 @@ def d1d_crawl_once_cuckoo_delete(spark, sf):
     SELECT url, max(last_ts) AS last_ts FROM merged GROUP BY url ORDER BY url""",
 )
 def d1e_merge_upsert(spark, sf):
+    # STATE SETUP (create + MERGE commit) runs once per (session, sf) into a
+    # session-lifetime temp dir; the RETURNED DataFrame is the plain bucketed
+    # read of the merged table — a real, auditable parquet-scan plan instead
+    # of the round-3 localCheckpoint opaque-RDD scan (verdict order 8).
+    import atexit
     import shutil
     import tempfile
 
     from hepcrawl_spark.sources import merge_store as MS
 
-    d = tempfile.mkdtemp(prefix="merge_oracle_")
-    try:
+    key = ("d1e_dir", id(spark), sf)
+    d = _STATE_CACHE.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="merge_oracle_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         MS.create_table(_seen(spark, sf), d, key="url", n_buckets=8)
         MS.merge_upsert(
             spark,
@@ -284,9 +312,8 @@ def d1e_merge_upsert(spark, sf):
             ),
             key="url",
         )
-        return MS.read_table(spark, d).orderBy("url").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        _STATE_CACHE[key] = d
+    return MS.read_table(spark, d).orderBy("url")
 
 
 # -- D2: deterministic identifier dedup --------------------------------------

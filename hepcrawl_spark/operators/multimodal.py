@@ -2,11 +2,12 @@
 
 The Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
 Arrow transfer) is real and tested. ``DECODERS`` holds REAL stdlib codecs
-for the formats parseable without media libraries — PPM/PGM/BMP images
-(struct+numpy) and WAV audio (stdlib ``wave``) — and raises
-NotImplementedError into the error-row path for everything else (jpeg/png/
-mp3/mp4 need PIL/torchaudio/decord, absent in this container); a deployment
-extends the decoder bodies without touching the plan shape.
+for the formats parseable without media libraries — PNG (zlib IDAT + full
+filter reconstruction), PPM/PGM/BMP images (struct+numpy) and WAV audio
+(stdlib ``wave``) — and raises NotImplementedError into the error-row path
+for everything else (jpeg/mp3/mp4 need PIL/torchaudio/decord, absent in
+this container); a deployment extends the decoder bodies without touching
+the plan shape.
 
 Design rules for 100 TB of media:
 - binary payloads never enter a shuffle: all feature extraction is
@@ -61,10 +62,11 @@ FEATURES_SCHEMA = StructType(
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """REAL decode for the two stdlib-parseable raster formats; everything
-    else (jpeg/png/...) raises NotImplementedError into the error-row path —
+    """REAL decode for the stdlib-parseable raster formats; everything
+    else (jpeg/...) raises NotImplementedError into the error-row path —
     a deployment extends this with PIL without touching the plan shape.
 
+    - PNG (8-bit, color types 0/2/4/6, non-interlaced): see ``_decode_png``.
     - PPM/PGM binary (P6/P5): ASCII header (magic, width, height, maxval,
       '#' comments allowed) then raw samples -> (H, W, C) uint8.
     - BMP (BITMAPINFOHEADER, uncompressed 24/32-bit): struct-parsed header,
@@ -93,6 +95,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         c = 3 if payload[:2] == b"P6" else 1
         arr = np.frombuffer(payload, dtype=np.uint8, count=h * w * c, offset=i)
         return arr.reshape(h, w, c)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if payload[:2] == b"BM":
         import struct
 
@@ -111,7 +115,91 @@ def _decode_image(payload: bytes) -> np.ndarray:
         if flip:
             rows = rows[::-1]
         return rows[..., [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
-    raise NotImplementedError("image codec: only PPM/PGM/BMP without PIL")
+    raise NotImplementedError("image codec: only PNG/PPM/PGM/BMP without PIL")
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only PNG decode (the dominant web image format): chunk
+    walk -> IHDR dims -> zlib-inflate concatenated IDAT -> per-scanline
+    filter reconstruction (all five RFC 2083 filter types) -> (H, W, C)
+    uint8. Supported: bit depth 8, color types 0/2/4/6, no interlace;
+    palette/16-bit/Adam7 raise NotImplementedError into the error-row path.
+
+    Filter math stays vectorized where the recurrence allows: None/Up are
+    whole-row numpy ops; Sub is a per-channel-lane cumsum (uint8 wraparound
+    == mod-256 addition); Average/Paeth carry a true per-pixel data
+    dependence, so those (rare) rows fall back to a per-byte loop."""
+    import struct
+    import zlib
+
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise NotImplementedError("PNG: missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit non-interlaced 0/2/4/6"
+        )
+    nch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) < height * (stride + 1):
+        raise NotImplementedError("PNG: truncated IDAT stream")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    ftypes = rows[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(ftypes[y])
+        line = rows[y, 1:].copy()
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: cumsum along each channel lane, mod 256
+            cur = (
+                np.cumsum(line.reshape(width, nch), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up
+            cur = line + prev  # uint8 wraparound == mod-256
+        elif f in (3, 4):  # Average / Paeth: per-pixel recurrence
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                if f == 3:
+                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(height, width, nch)
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
@@ -244,6 +332,63 @@ def make_bmp(w: int, h: int, seed: int) -> bytes:
     )
 
 
+def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
+    """Deterministic real PNG bytes (seeded pixels), exercising a mix of
+    scanline filter types (0/1/2/3/4 cycling by row) so the decoder's full
+    reconstruction logic runs, not just the filter-0 fast path."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    nch = _PNG_CHANNELS[color_type]
+    px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    stride = w * nch
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            left = np.r_[np.zeros(nch, dtype=np.int32), cur[:-nch]]
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            left = np.r_[np.zeros(nch, dtype=np.int32), cur[:-nch]]
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            left = np.r_[np.zeros(nch, dtype=np.int32), cur[:-nch]]
+            ul = np.r_[np.zeros(nch, dtype=np.int32), prev[:-nch]]
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        raw.append(f)
+        raw += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = flat[y]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_wav(n_frames: int, seed: int, rate: int = 8000) -> bytes:
     """Deterministic real 16-bit mono WAV bytes (seeded sine-ish)."""
     import io
@@ -261,12 +406,13 @@ def make_wav(n_frames: int, seed: int, rate: int = 8000) -> bytes:
 
 
 def synthesize_real_media(spark, n: int = 30) -> DataFrame:
-    """Media table whose payloads are REAL decodable bytes (PPM/BMP/WAV),
+    """Media table whose payloads are REAL decodable bytes (PPM/BMP/PNG/WAV),
     cycling formats, for end-to-end codec tests. Built once on the driver
     (tiny) and parallelized; at scale these bytes come from parquet."""
     fmts = [
         ("image", "image/x-portable-pixmap", lambda i: make_ppm(8 + i % 5, 6, i)),
         ("image", "image/bmp", lambda i: make_bmp(7 + i % 5, 5, i)),
+        ("image", "image/png", lambda i: make_png(6 + i % 5, 9, i, color_type=(0, 2, 6)[i % 3])),
         ("audio", "audio/wav", lambda i: make_wav(64 + i, i)),
         ("video", "video/mp4", lambda i: b"\x00\x00\x00 ftypisom" + bytes([i % 256]) * 32),
     ]

@@ -18,6 +18,8 @@ is broadcast.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -167,6 +169,137 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    iterations: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    spill: int = 1,
+    seed: str = "ivf",
+):
+    """REAL IVF index build: spherical k-means coarse quantizer + cell
+    assignment (round-3 verdict: probing the semantic ``label`` column gave
+    recall ~= scan fraction because labels carry no cosine signal — the
+    quantizer must be GEOMETRIC).
+
+    Training runs on a deterministic md5-ordered sample collected to the
+    driver and iterated in numpy — quantizer training is sample-bound by
+    standard IVF practice (FAISS trains on 10^4-10^5 vectors regardless of
+    corpus size), so the collect is O(sample_n x dim), never O(corpus).
+    The full-corpus work is ONLY the assignment: an Arrow-batched BLAS
+    matmul per batch (one pandas UDF, linear scan, no k-way row blowup —
+    the explode-per-centroid relational argmax would shuffle n_cells x
+    corpus rows).
+
+    ``spill`` > 1 indexes each vector in its ``spill`` nearest cells
+    (SOAR-style spill assignment): the index grows linearly but
+    boundary-split neighbors — the bulk of IVF misses — become reachable.
+
+    Returns ``(centroids, assigned)``: the [n_cells, dim] numpy centroid
+    matrix and a (id, vec, cell) DataFrame with ``spill`` rows per vector.
+    """
+    samp = (
+        corpus.select(F.col(id_col), _dbl(vec_col).alias("_v"))
+        .withColumn(
+            "_h", F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string")))
+        )
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in samp], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_cells].copy()
+    for _ in range(iterations):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        a = np.argmax(X @ Cn.T, axis=1)
+        for j in range(n_cells):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    assign = nearest_cells_udf(corpus.sparkSession, C, spill)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(assign(F.col(vec_col))).alias("cell")
+    )
+    return C, assigned
+
+
+def nearest_cells_udf(spark, centroids, n: int):
+    """pandas UDF: embedding -> its ``n`` nearest centroid ids (cosine),
+    one broadcast of the (tiny) centroid matrix, batch matmul per Arrow
+    batch — the linear-scan assignment/probe kernel for ivf_build."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    bcast = spark.sparkContext.broadcast(np.ascontiguousarray(centroids))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        C = bcast.value
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = V @ C.T
+        # full argsort of n_cells columns; top-n by similarity, id tiebreak
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return _cells
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    nprobe: int = 16,
+    iterations: int = 8,
+    spill: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    built=None,
+):
+    """IVF ANN over k-means cells: probe the query's ``nprobe`` nearest
+    cells of the trained quantizer, exact-cosine re-rank within candidates.
+    ``built`` (from ``ivf_build``) lets one index serve many probe configs.
+    Returns ((query_id, neighbor_id, cosine, rank), scanned-candidates DF)
+    — the second element is the candidate set BEFORE re-rank so callers can
+    measure the true scan fraction rather than assume nprobe/n_cells."""
+    C, assigned = built if built is not None else ivf_build(
+        corpus, n_cells, iterations, id_col, vec_col, spill=spill
+    )
+    probe = nearest_cells_udf(corpus.sparkSession, C, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+        )
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # spill/multi-probe duplicates collapse BEFORE the cosine math
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qvec").alias("qvec"), F.first("cvec").alias("cvec"))
+    )
+    scored = cand.withColumn(
+        "cosine", _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    return topk, cand.select("query_id", "neighbor_id")
 
 
 def ivf_centroids(

@@ -63,11 +63,11 @@ def test_real_codec_end_to_end(spark):
     into the error path."""
     from hepcrawl_spark.operators.multimodal import synthesize_real_media
 
-    media = synthesize_real_media(spark, n=24)
+    media = synthesize_real_media(spark, n=25)
     feats = {r["media_id"]: r for r in extract_features(media, use_fake_decoder=False).collect()}
-    assert len(feats) == 24
+    assert len(feats) == 25
     for mid, r in feats.items():
-        if mid % 4 == 3:  # the fake-mp4 slot
+        if mid % 5 == 4:  # the fake-mp4 slot
             assert r["feature"] is None and "video codec" in r["error"]
         else:
             assert r["error"] is None, r["error"]
@@ -76,6 +76,29 @@ def test_real_codec_end_to_end(spark):
     # decode is deterministic across runs
     again = {
         r["media_id"]: r["feature"]
-        for r in extract_features(synthesize_real_media(spark, n=24), use_fake_decoder=False).collect()
+        for r in extract_features(synthesize_real_media(spark, n=25), use_fake_decoder=False).collect()
     }
     assert {m: r["feature"] for m, r in feats.items()} == again
+
+
+def test_png_decode_roundtrip():
+    import numpy as np
+    """Stdlib PNG decode (round-3 verdict order 7): seeded pixels survive
+    encode -> zlib IDAT -> all five filter types -> decode, for gray/RGB/
+    gray-alpha/RGBA; unsupported shapes fall to NotImplementedError."""
+    import pytest
+
+    from hepcrawl_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        _decode_image,
+        _decode_png,
+        make_png,
+    )
+
+    for ct in (0, 2, 4, 6):
+        px = np.random.default_rng(11).integers(
+            0, 256, size=(9, 6, _PNG_CHANNELS[ct]), dtype=np.uint8
+        )
+        assert (_decode_image(make_png(6, 9, 11, color_type=ct)) == px).all()
+    with pytest.raises(NotImplementedError, match="IHDR"):
+        _decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)

@@ -1,0 +1,67 @@
+"""ANN operators: exact baseline, k-means IVF build/probe invariants."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from hepcrawl_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # deterministic isotropic-ish corpus: 300 x 16-dim from a seeded rng
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist())
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.persist().count()
+    return df
+
+
+def test_ivf_build_shapes_and_determinism(spark, emb):
+    C1, a1 = SIM.ivf_build(emb, n_cells=8, iterations=4)
+    C2, a2 = SIM.ivf_build(emb, n_cells=8, iterations=4)
+    assert C1.shape == (8, 16)
+    # unit-norm centroids (spherical k-means)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+    assert (C1 == C2).all()  # md5-ordered sample + fixed Lloyd = deterministic
+    got1 = sorted((r["vec_id"], r["cell"]) for r in a1.collect())
+    got2 = sorted((r["vec_id"], r["cell"]) for r in a2.collect())
+    assert got1 == got2
+    # spill=1: exactly one cell per vector; every cell id in range
+    assert len(got1) == 300
+    assert all(0 <= c < 8 for _, c in got1)
+    # spill=2 doubles the index and includes the spill=1 assignment
+    _, a_spill = SIM.ivf_build(emb, n_cells=8, iterations=4, spill=2)
+    got_s = {(r["vec_id"], r["cell"]) for r in a_spill.collect()}
+    assert len(got_s) == 600
+    assert set(got1) <= got_s
+
+
+def test_ivf_kmeans_recall_beats_random_scan(spark, emb):
+    """The whole point of geometric cells (round-3 verdict: label cells had
+    lift ~1.2): recall at the measured scan fraction must show real
+    selectivity lift over random truncation, and probing ALL cells must be
+    exact."""
+    q = emb.filter("vec_id < 10")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, q, k=5).collect()}
+    built = SIM.ivf_build(emb, n_cells=8, iterations=4)
+    topk, cand = SIM.ivf_topk_kmeans(emb, q, k=5, nprobe=2, built=built)
+    got = {(r["query_id"], r["neighbor_id"]) for r in topk.collect()}
+    recall = len(got & exact) / len(exact)
+    scan = cand.count() / (10 * 299)
+    assert recall >= 1.5 * scan, (recall, scan)  # genuine lift
+    assert recall >= 0.4
+    # nprobe = n_cells degenerates to exact brute force
+    all_topk, _ = SIM.ivf_topk_kmeans(emb, q, k=5, nprobe=8, built=built)
+    assert {(r["query_id"], r["neighbor_id"])
+            for r in all_topk.collect()} == exact
+
+
+def test_ivf_topk_plan_has_no_cartesian(spark, emb):
+    built = SIM.ivf_build(emb, n_cells=8, iterations=2)
+    topk, _ = SIM.ivf_topk_kmeans(emb, emb.filter("vec_id < 4"), k=3, built=built)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow UDF only
