@@ -2127,6 +2127,55 @@ def x19_decontamination(spark, sf):
     )
 
 
+# -- X20: corpus-wide paragraph dedup (RefinedWeb/CCNet boilerplate pass) -----
+# Synthesized 3-paragraph docs: a header shared by doc_id%7, a unique md5
+# paragraph, a footer shared by ALL docs. Duplicated paragraphs survive only
+# in the smallest-id document; text reassembles in original order. The
+# oracle replays split -> global min-owner -> keep-first -> string_agg.
+@_q(
+    "x20_paragraph_dedup",
+    """WITH t AS (
+      SELECT doc_id, 'shared ' || (doc_id % 7) || chr(10) || chr(10) ||
+             'unique ' || md5(text) || chr(10) || chr(10) ||
+             'all rights reserved' AS text
+      FROM documents
+    ), p0 AS (
+      SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, '\\n\\s*\\n') AS arr
+            FROM t)
+    ), p AS (
+      SELECT doc_id, i AS pos, trim(arr[i]) AS para
+      FROM p0 WHERE length(trim(arr[i])) >= 1
+    ), o AS (
+      SELECT md5(para) AS phash, min(doc_id) AS keep_doc, count(*) AS n_occ
+      FROM p GROUP BY 1
+    ), m AS (
+      SELECT p.doc_id, p.pos, p.para,
+             (o.n_occ = 1 OR p.doc_id = o.keep_doc) AS keep
+      FROM p JOIN o ON o.phash = md5(p.para)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN para END,
+                               chr(10) || chr(10) ORDER BY pos), '') AS text,
+           count(*) AS n_paragraphs,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+    FROM m GROUP BY doc_id ORDER BY doc_id""",
+)
+def x20_paragraph_dedup(spark, sf):
+    from hepcrawl_spark.operators.dedup import paragraph_dedup
+
+    t = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("shared "), (F.col("doc_id") % 7).cast("string"), F.lit("\n\n"),
+            F.lit("unique "), F.md5("text"), F.lit("\n\n"),
+            F.lit("all rights reserved"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(t).orderBy("doc_id")
+
+
 # -- X13: PageRank frontier prioritization ------------------------------------
 # Damped PageRank over the x10 link graph, fixed 4 iterations so both
 # engines compute the identical float sequence; the oracle UNROLLS the
@@ -2593,16 +2642,28 @@ def f5h_elsevier_parse(spark, sf):
     ).orderBy("url")
 
 
-# Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the round-2
-# driver gated exactly the FIRST 50 queries of this dict, leaving the tail
-# unchecked. Queries whose implementation changed since their last green
-# driver row, plus any never-gated ones, must sort first; the tail is
-# reserved for stable one-expression text functions that were green in BOTH
-# r01 and r02 and whose code is untouched since. Registration order is the
-# fallback for anything not listed.
-_GATE_TAIL = [
-    # double-gated (r01+r02), zero code churn since: pure JVM expression
-    # wrappers over functions/text.py
+# Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
+# gates exactly the FIRST 50 queries of this dict, leaving the tail for the
+# next round. Queries whose query code or operator implementation changed
+# since their last green driver row must sort first; next come queries whose
+# last green row is oldest (round-2); the tail holds queries green in r03
+# with zero code churn since. Round-4 head = 21 changed + 29 r02-stale = 50
+# exactly; every query's last green row is then at most one round old.
+_GATE_HEAD = [
+    # changed in round 4: f5* gained predictive oracles + doc_id predicates;
+    # x2/x2b/x5/x5b/x6/x13/x14/x15 emit hash-stable ppm integers; d1c/d1d
+    # touch the resized/memoized cuckoo lifecycle; d1e returns the un-
+    # checkpointed merge-table plan; p1/p4 ride the select_wave host_salts
+    # refactor (static path intended byte-exact - these two rows prove it)
+    "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
+    "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",
+    "x2_ngram_jaccard", "x2b_ngram_jaccard_capped",
+    "x5_cosine_topk", "x5b_ivf_topk", "x6_embedding_neardup",
+    "x13_pagerank", "x14_repetition", "x15_ngram_repetition",
+    "d1c_crawl_once_cuckoo", "d1d_crawl_once_cuckoo_delete", "d1e_merge_upsert",
+    "p1_politeness_wave", "p4_crawl_order",
+    # last green row is round 2 (rotated out of the r03 window), untouched
+    # since - rotate back in so no row is ever more than two rounds stale
     "c4_whitespace_collapse", "c5_subsup_latex", "c7_initials_collapse",
     "c10_journal_section", "c11_date_waterfall", "c13_page_count",
     "c14_doi_split", "c15_doctype_classify", "c16_language_names",
@@ -2610,27 +2671,27 @@ _GATE_TAIL = [
     "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
     "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
-    "x2_ngram_jaccard", "w1_tumbling_window", "s13_json_extract",
+    "w1_tumbling_window", "s13_json_extract",
     "j2_affiliation_lookup", "s12_batch_feed", "p2_host_pressure",
-    "x1_exact_dedup", "j5_fetch_join", "p5_robots_gate",
+    "x1_exact_dedup", "j5_fetch_join",
+    # never gated (added round 4)
+    "x20_paragraph_dedup",
 ]
-_GATE_HEAD = [
-    # no green row in CORRECTNESS_r02.json at all
-    "x8_token_counts", "x7_langid", "x9_fingerprint", "x6_embedding_neardup",
-    "q1_pricing_summary", "q3_order_revenue", "d1d_crawl_once_cuckoo_delete",
-    "d1e_merge_upsert", "x10_connected_components", "x11_dedup_clusters",
+_GATE_TAIL = [
+    # green in CORRECTNESS_r03.json, zero code churn in round 4
+    "x8_token_counts", "x7_langid", "x9_fingerprint",
+    "q1_pricing_summary", "q3_order_revenue",
+    "x10_connected_components", "x11_dedup_clusters",
     "s18_warc_scan", "p7_robots_parse", "s19_sitemap_scan", "c23_html_extract",
-    # rows-only parse checks, also absent from r02
-    "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
-    "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",
-    # green in r02 but implementation touched since (frontier/cuckoo/bloom/
-    # records/tohep/similarity commits 042b324, 22b3ed9, 7620d44)
-    "d1_crawl_once_gate", "d1b_crawl_once_bloom", "d1c_crawl_once_cuckoo",
+    "d1_crawl_once_gate", "d1b_crawl_once_bloom",
     "j4_document_patch", "tohep_normalize", "x5c_lsh_signature",
-    "x5_cosine_topk", "x5b_ivf_topk", "a1_crawl_counters",
-    "x12_simhash_candidates", "x3b_minhash_lsh_candidates", "x13_pagerank",
-    "x14_repetition", "x15_ngram_repetition", "x16_pii_redaction",
-    "x17_mix_sampling", "x18_chunking", "x19_decontamination",
+    "a1_crawl_counters", "x12_simhash_candidates", "x3b_minhash_lsh_candidates",
+    "x16_pii_redaction", "x17_mix_sampling", "x18_chunking",
+    "x19_decontamination", "s3_missing_anti_join", "s4_zip_members",
+    "s5_tar_members_xml", "s6_tar_members_pdf", "f2_harvest_worthy",
+    "f4_open_access_split", "p6_retry_decay",
+    # r02-green, unchanged - bumped from the window by x20; next round
+    "p5_robots_gate",
 ]
 
 

@@ -94,6 +94,40 @@ def main() -> None:
         s_wall = sum(i.wall_s for i in steady)
         extras["frontier_urls_per_sec_steady"] = round(s_urls / s_wall, 1)
 
+    # -- production profile: the configuration a 100-TB deployment would
+    # actually run, measured beside the default (round-3 verdict order 9):
+    # bucketed MERGE url_seen (touched-buckets-only rewrites), filter_mode
+    # auto (resolves by n_expected_urls), adaptive per-host salting, durable
+    # snapshot every 3rd iteration, PageRank priority refresh on.
+    prod_dir = f"/tmp/hepcrawl_bench_prod_{os.getpid()}"
+    res_p = timed(
+        "crawl_fixpoint_production",
+        lambda: run_crawl(
+            spark, corpus, seeds,
+            CrawlConfig(
+                max_iterations=4, max_per_host=2000,
+                filter_mode="auto", salt_mode="adaptive",
+                # declared production scale -> auto resolves to the
+                # zero-driver bloom_table cogroup path
+                n_expected_urls=10_000_000,
+                seen_store="merge", seen_buckets=32,
+                snapshot_every=3, rank_priorities_every=2,
+                state_dir=prod_dir,
+            ),
+        ),
+    )
+    p_urls = res_p.total_scheduled + res_p.total_fetched
+    extras["frontier_urls_per_sec_production"] = round(
+        p_urls / timings["crawl_fixpoint_production"], 1
+    )
+    p_steady = [i for i in res_p.iterations if i.iteration >= 1]
+    if p_steady:
+        extras["frontier_urls_per_sec_production_steady"] = round(
+            sum(i.scheduled + i.fetched for i in p_steady)
+            / sum(i.wall_s for i in p_steady),
+            1,
+        )
+
     # -- scale-relevant operator pipelines -----------------------------------
     docs_big = corpus.select(
         F.col("page_id").alias("doc_id"), F.col("text")

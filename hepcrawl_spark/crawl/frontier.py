@@ -82,7 +82,12 @@ class CrawlConfig:
                                      # historical behavior
     adaptive_salt_k: int = 8         # hot threshold: pending > k x median
     adaptive_max_salt: int = 256     # per-host shard cap in adaptive mode
-    filter_mode: str = "bloom"       # 'bloom' (broadcast sharded filter,
+    filter_mode: str = "auto"        # 'auto' (the DEFAULT: bloom under
+                                     # auto_filter_threshold expected urls,
+                                     # bloom_table above — a deployment
+                                     # declaring 10^10 urls lands on the
+                                     # zero-driver path without opting in)
+                                     # | 'bloom' (broadcast sharded filter,
                                      # wave-hash deltas via the driver)
                                      # | 'bloom_table' (filter lives as a
                                      # (shard, bits) parquet table; probe +
@@ -91,10 +96,6 @@ class CrawlConfig:
                                      # 10^10-URL path)
                                      # | 'cuckoo' (resident delete-capable
                                      # filter, per-wave delta inserts)
-                                     # | 'auto' (bloom under
-                                     # auto_filter_threshold expected urls,
-                                     # bloom_table above — the default a
-                                     # deployment should run)
                                      # | 'none'
     auto_filter_threshold: int = 5_000_000
                                      # 'auto' cutover: above this expected

@@ -424,3 +424,69 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup (the RefinedWeb/CCNet pass between
+    whole-document dedup and fuzzy dedup: boilerplate paragraphs — cookie
+    banners, license footers — repeat across unrelated pages and survive
+    document-level hashing).
+
+    A paragraph (split on blank lines, trimmed) that occurs in more than
+    one document is kept ONLY in the document with the smallest id
+    (deterministic keep-first); all other occurrences are dropped and the
+    per-document text is reassembled in original paragraph order. Documents
+    whose every paragraph was dropped keep an empty string.
+
+    Scale shape: one explode (narrow), ONE shuffle keyed on the md5 of the
+    paragraph — the global groupBy computes (n_docs, keep_doc) per distinct
+    paragraph and joins back by hash, so full paragraph text never shuffles
+    twice — then one groupBy(id) to reassemble. Returns
+    (id, text, n_paragraphs, n_dropped).
+    """
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias("pos", "para"),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") >= min_chars)
+        .withColumn("phash", F.md5("para"))
+    )
+    owners = paras.groupBy("phash").agg(
+        F.min(id_col).alias("_keep_doc"), F.count("*").alias("_n_occ")
+    )
+    marked = paras.join(owners, "phash").withColumn(
+        "_keep", (F.col("_n_occ") == 1) | (F.col(id_col) == F.col("_keep_doc"))
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_paragraphs"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    # left join back so paragraph-less docs (empty/whitespace text) survive
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )

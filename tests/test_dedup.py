@@ -294,3 +294,31 @@ def test_decontamination(spark):
     capped = {r["doc_id"] for r in decontaminate(
         docs, bench, threshold=0.5, max_shingle_df=5).collect()}
     assert capped == {2, 3}
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    from hepcrawl_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\n\nCOMMON FOOTER\n\nunique-a"),
+            (2, "beta two\n\nCOMMON FOOTER"),
+            (3, "COMMON FOOTER\n\n  \n\ngamma three"),   # blank para dropped
+            (4, ""),                                      # paragraph-less doc
+            (5, "dup-in-doc\n\ndup-in-doc"),              # within-doc dup: kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert len(out) == 5
+    # footer survives only in the smallest-id document, original order kept
+    assert out[1]["text"] == "alpha one\n\nCOMMON FOOTER\n\nunique-a"
+    assert out[2]["text"] == "beta two"
+    assert out[3]["text"] == "gamma three"
+    assert (out[2]["n_paragraphs"], out[2]["n_dropped"]) == (2, 1)
+    assert (out[3]["n_paragraphs"], out[3]["n_dropped"]) == (2, 1)
+    # empty doc survives the left join with empty text
+    assert (out[4]["text"], out[4]["n_paragraphs"], out[4]["n_dropped"]) == ("", 0, 0)
+    # a paragraph duplicated WITHIN one doc is cross-doc-unique: both kept
+    assert out[5]["text"] == "dup-in-doc\n\ndup-in-doc"
+    assert out[5]["n_dropped"] == 0

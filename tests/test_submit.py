@@ -31,7 +31,7 @@ def test_zip_builds_and_imports(tmp_path):
         [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
     )
     assert r.returncode == 0, r.stderr
-    assert r.stdout.strip() == "bloom"
+    assert r.stdout.strip() == "auto"
 
 
 def test_job_cli_parses():
