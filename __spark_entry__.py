@@ -2176,6 +2176,99 @@ def x20_paragraph_dedup(spark, sf):
     return paragraph_dedup(t).orderBy("doc_id")
 
 
+# -- X21: Gopher document-quality rules (Rae et al. 2021 Table A1) ------------
+# Real document text shaped per doc_id%4: plain / bullet-list tail / too-
+# short / ellipsis-line tail, run through the full rule set. Ratios are RAW
+# IEEE divisions of exact ints (bit-identical across engines), emitted as
+# floor-ppm integers; floor (unlike round) has no tie cases.
+@_q(
+    "x21_gopher_rules",
+    """WITH t AS (
+      SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 0 THEN text
+        WHEN 1 THEN text || chr(10) || '- first item' || chr(10) ||
+                    '- second item' || chr(10) || '- third item'
+        WHEN 2 THEN 'short doc'
+        ELSE text || chr(10) || 'to be continued...' || chr(10) ||
+             'more coming soon...'
+      END AS text FROM documents
+    ), w AS (
+      SELECT doc_id, text,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+        regexp_split_to_array(trim(text), '\\s+') AS words,
+        list_filter(string_split(text, chr(10)),
+                    l -> length(trim(l)) > 0) AS lines
+      FROM t
+    ), s AS (
+      SELECT doc_id, n_words,
+        list_sum(list_transform(words, x -> length(x)))::DOUBLE
+          / n_words AS mean_wlen,
+        len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+          / greatest(n_words, 1) AS sym,
+        len(list_filter(lines,
+            l -> regexp_matches(trim(l), '^([-*•]|[0-9]+[.)])\\s')))
+          / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet,
+        len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+          / CAST(greatest(len(lines), 1) AS DOUBLE) AS ell,
+        len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+          / CAST(greatest(n_words, 1) AS DOUBLE) AS alpha
+      FROM w
+    )
+    SELECT doc_id, n_words,
+      CAST(floor(mean_wlen * 1e6) AS BIGINT) AS mean_wlen_ppm,
+      CAST(floor(sym * 1e6) AS BIGINT) AS symbol_ppm,
+      CAST(floor(bullet * 1e6) AS BIGINT) AS bullet_ppm,
+      CAST(floor(ell * 1e6) AS BIGINT) AS ellipsis_ppm,
+      CAST(floor(alpha * 1e6) AS BIGINT) AS alpha_ppm,
+      (n_words >= 50 AND n_words <= 100000) AS ok_words,
+      (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_mean_word_len,
+      (sym <= 0.1) AS ok_symbols,
+      (bullet <= 0.9) AS ok_bullets,
+      (ell <= 0.3) AS ok_ellipsis,
+      (alpha >= 0.8) AS ok_alpha,
+      ((n_words >= 50 AND n_words <= 100000)
+       AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+       AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+       AND alpha >= 0.8) AS passes
+    FROM s ORDER BY doc_id""",
+)
+def x21_gopher_rules(spark, sf):
+    from hepcrawl_spark.operators.textstats import gopher_rules
+
+    t = _docs(spark, sf).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit("\n- first item\n- second item\n- third item"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("short doc"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit("\nto be continued...\nmore coming soon..."),
+            )
+        )
+        .alias("text"),
+    )
+    out = gopher_rules(t)
+    ppm = lambda c, a: F.floor(F.col(c) * 1e6).cast("long").alias(a)
+    return out.select(
+        "doc_id", "n_words",
+        ppm("mean_word_len", "mean_wlen_ppm"),
+        ppm("symbol_word_ratio", "symbol_ppm"),
+        ppm("bullet_line_frac", "bullet_ppm"),
+        ppm("ellipsis_line_frac", "ellipsis_ppm"),
+        ppm("alpha_word_frac", "alpha_ppm"),
+        "ok_words", "ok_mean_word_len", "ok_symbols", "ok_bullets",
+        "ok_ellipsis", "ok_alpha", "passes",
+    ).orderBy("doc_id")
+
+
 # -- X13: PageRank frontier prioritization ------------------------------------
 # Damped PageRank over the x10 link graph, fixed 4 iterations so both
 # engines compute the identical float sequence; the oracle UNROLLS the
@@ -2673,9 +2766,9 @@ _GATE_HEAD = [
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
     "w1_tumbling_window", "s13_json_extract",
     "j2_affiliation_lookup", "s12_batch_feed", "p2_host_pressure",
-    "x1_exact_dedup", "j5_fetch_join",
+    "j5_fetch_join",
     # never gated (added round 4)
-    "x20_paragraph_dedup",
+    "x20_paragraph_dedup", "x21_gopher_rules",
 ]
 _GATE_TAIL = [
     # green in CORRECTNESS_r03.json, zero code churn in round 4
@@ -2690,8 +2783,8 @@ _GATE_TAIL = [
     "x19_decontamination", "s3_missing_anti_join", "s4_zip_members",
     "s5_tar_members_xml", "s6_tar_members_pdf", "f2_harvest_worthy",
     "f4_open_access_split", "p6_retry_decay",
-    # r02-green, unchanged - bumped from the window by x20; next round
-    "p5_robots_gate",
+    # r02-green, unchanged - bumped from the window by x20/x21; next round
+    "p5_robots_gate", "x1_exact_dedup",
 ]
 
 

@@ -156,6 +156,15 @@ def main() -> None:
         "quality_tokens",
         lambda: X.quality_features(docs_big).agg(F.avg("quality_score")).collect(),
     )
+    extras["gopher_pass_frac"] = timed(
+        "gopher_rules",
+        lambda: round(
+            X.gopher_rules(docs_big)
+            .agg(F.avg(F.col("passes").cast("double")))
+            .collect()[0][0],
+            4,
+        ),
+    )
 
     qs = entry.queries()
     for name in ("q1_pricing_summary", "q3_order_revenue", "w1_tumbling_window",

@@ -372,3 +372,89 @@ def ngram_repetition_features(
         )
     )
     return docs.select(id_col).join(out, id_col, "left")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021 Table A1 —
+    the standard pre-filter every web-scale LLM corpus applies before
+    dedup): word-count bounds, mean-word-length bounds, hash/ellipsis
+    symbol ratio, bullet-/ellipsis-line fractions, alphabetic-word
+    fraction. Returns one row per doc with each measured statistic, the
+    per-rule verdicts, and ``passes`` (the conjunction) — a filter built
+    as annotate-then-filter so rejected docs stay auditable.
+
+    All pure JVM column expressions over ONE projection of the text —
+    counts via regexp_count, line stats via the split-array higher-order
+    functions; no shuffle, no Python."""
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    # null text counts as zero words (not null) so the word-count bound —
+    # and therefore `passes` — is a real False, matching blank text
+    n_words = F.when(
+        F.coalesce(F.length(F.trim(c)), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(words))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words,
+    )
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    lines = F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•]|\d+[.)])\s"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    # RAW doubles, no rounding: every ratio is an exact IEEE division of
+    # two ints, so it is bit-identical in any engine — rounding here would
+    # reintroduce the cross-engine round() representation trap the ppm
+    # gates exist to avoid, and thresholds should compare true values
+    stats = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        (n_symbols / F.greatest(n_words, F.lit(1))).alias("symbol_word_ratio"),
+        (bullet_lines / F.greatest(n_lines, F.lit(1)).cast("double")).alias(
+            "bullet_line_frac"
+        ),
+        (ellipsis_lines / F.greatest(n_lines, F.lit(1)).cast("double")).alias(
+            "ellipsis_line_frac"
+        ),
+        (alpha_words / F.greatest(n_words, F.lit(1)).cast("double")).alias(
+            "alpha_word_frac"
+        ),
+    )
+    checks = {
+        "ok_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbols": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "ok_bullets": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "ok_ellipsis": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+    }
+    out = stats
+    passes = F.lit(True)
+    for name, cond in checks.items():
+        cond = F.coalesce(cond, F.lit(False))
+        out = out.withColumn(name, cond)
+        passes = passes & cond
+    return out.withColumn("passes", passes)

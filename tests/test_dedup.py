@@ -322,3 +322,33 @@ def test_paragraph_dedup_keep_first_and_reassembly(spark):
     # a paragraph duplicated WITHIN one doc is cross-doc-unique: both kept
     assert out[5]["text"] == "dup-in-doc\n\ndup-in-doc"
     assert out[5]["n_dropped"] == 0
+
+
+def test_gopher_rules_verdicts(spark):
+    from hepcrawl_spark.operators.textstats import gopher_rules
+
+    good = " ".join(f"word{i} the quick brown" for i in range(20))  # 80 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short"),
+            (3, good + "\n" + "\n".join(f"- item {i}" for i in range(30))),
+            (4, good + "\nwait for it...\nnearly there...\nnot yet..."
+                + "".join("\nplain line" for _ in range(1))),
+            (5, " ".join("12345 67890" for _ in range(40))),  # no alpha words
+            (6, None),
+            (7, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["passes"] is False and out[2]["ok_words"] is False
+    # 30 bullet lines out of ~31 non-blank lines > 0.9
+    assert out[3]["ok_bullets"] is False and out[3]["passes"] is False
+    # 3 of 5 lines end in ellipsis > 0.3
+    assert out[4]["ok_ellipsis"] is False
+    assert out[5]["ok_alpha"] is False
+    # null/blank text: zero words, every null check coalesces to False
+    for d in (6, 7):
+        assert out[d]["n_words"] == 0 and out[d]["passes"] is False

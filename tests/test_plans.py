@@ -196,3 +196,36 @@ def test_merge_store_single_shuffle_per_upsert(spark, tmp_path):
 
     plan = formatted_plan(M.read_table(spark, d))
     assert "Scan parquet" in plan and "Exchange" not in plan
+
+
+def test_bucketed_fetch_join_is_shuffle_free(spark, tmp_path):
+    """The 100-TB fetch-join contract (README scale notes): pages and the
+    wave both stored bucketed by url -> the equi join is storage-partitioned
+    — a SortMergeJoin with ZERO Exchange on either side. Pinned on real
+    bucketed tables, broadcast disabled so the bucketing (not a broadcast)
+    is what removes the shuffle."""
+    pages = spark.range(0, 2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".org/p/"), F.col("id").cast("string")).alias("url"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+    )
+    wave = pages.select("url").filter(F.crc32(F.col("url")) % 3 == 0)
+    spark.sql("DROP TABLE IF EXISTS pages_bkt")
+    spark.sql("DROP TABLE IF EXISTS wave_bkt")
+    (pages.write.bucketBy(8, "url").sortBy("url")
+        .option("path", str(tmp_path / "pages_bkt")).saveAsTable("pages_bkt"))
+    (wave.write.bucketBy(8, "url").sortBy("url")
+        .option("path", str(tmp_path / "wave_bkt")).saveAsTable("wave_bkt"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("wave_bkt").join(spark.table("pages_bkt"), "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pages_bkt")
+        spark.sql("DROP TABLE IF EXISTS wave_bkt")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    # and it actually runs with the bucketed layout
+    assert joined.count() > 0
