@@ -146,6 +146,12 @@ class CrawlConfig:
                                      # 1 = historical behavior (failures
                                      # retire immediately, zero extra jobs)
     retry_decay: float = 0.5
+    max_depth: int | None = None     # Scrapy DEPTH_LIMIT parity: outlinks
+                                     # discovered more than max_depth hops
+                                     # from a seed never enter the frontier.
+                                     # Rides the meta map ('depth' key), so
+                                     # enabling it forces meta threading;
+                                     # None = unlimited (historical)
     seen_store: str = "snapshot"     # 'snapshot' (url_seen fully rewritten
                                      # per durable iteration) | 'merge'
                                      # (sources/merge_store.py: Iceberg-
@@ -329,10 +335,25 @@ def run_crawl(
 
     ``pages``: the corpus (url, warc_ts, html, text, lang[, host]).
     ``seeds``: initial frontier (url, host, priority, discovered_ts).
+    ``robots``: a parsed rules table (host, allow, path_prefix[,
+    crawl_delay]) — or the string ``"auto"`` to derive the rules from the
+    corpus's own ``/robots.txt`` pages (the Scrapy RobotsTxtMiddleware
+    fetch-and-obey flow: a real crawl fetches robots.txt like any page;
+    here those bodies already sit in the corpus snapshot).
     Returns per-iteration stats; all state lives in config.state_dir when
     set (making the run checkpoint-resumable), else in a temp dir.
     """
     cfg = config or CrawlConfig()
+    if isinstance(robots, str):
+        if robots != "auto":
+            raise ValueError(f"robots must be a DataFrame, 'auto', or None: {robots!r}")
+        from .robots import parse_robots_txt
+
+        robots = parse_robots_txt(
+            pages.filter(F.parse_url("url", F.lit("PATH")) == "/robots.txt").select(
+                F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "text"
+            )
+        ).persist()  # one small row per rule per host; reused every wave
     if cfg.filter_mode == "auto":
         from dataclasses import replace as _dc_replace
 
@@ -355,7 +376,21 @@ def run_crawl(
         cfg.link_meta is not None
         or (seeds is not None and "meta" in seeds.columns)
         or cfg.rank_priorities_every > 0
+        or cfg.max_depth is not None
     )
+    # DEPTH_LIMIT (Scrapy DepthMiddleware parity): every outlink's meta is
+    # stamped with depth = parent depth + 1 (seeds count as depth 0);
+    # over-deep candidates are filtered before they enter the frontier
+    link_meta = cfg.link_meta
+    if cfg.max_depth is not None:
+        depth_stamp = (
+            F.coalesce(
+                F.element_at(F.col("meta"), F.lit("depth")).cast("int"),
+                F.lit(0),
+            )
+            + 1
+        ).cast("string")
+        link_meta = {**(link_meta or {}), "depth": depth_stamp}
     start_iter = 0
     frontier = url_seen = None
     resumed_seen_size = 0
@@ -731,7 +766,7 @@ def run_crawl(
             )
 
         links = extract_outlinks(
-            fetched, link_meta=cfg.link_meta, thread_meta=meta_live
+            fetched, link_meta=link_meta, thread_meta=meta_live
         )
         if cfg.rank_priorities_every > 0:
             # append this wave's (parent -> url) edges to the crawl's link
@@ -779,6 +814,14 @@ def run_crawl(
         candidates = new_frontier_rows.join(new_seen, "url", "left_anti").join(
             remaining.select("url"), "url", "left_anti"
         )
+        if cfg.max_depth is not None:
+            candidates = candidates.filter(
+                F.coalesce(
+                    F.element_at(F.col("meta"), F.lit("depth")).cast("int"),
+                    F.lit(0),
+                )
+                <= cfg.max_depth
+            )
         frontier_cols = [
             "url", "host", "priority", "discovered_ts", "attempt", "meta"
         ]

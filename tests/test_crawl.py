@@ -551,3 +551,91 @@ def test_pagerank_priority_refresh(spark, corpus, seeds, tmp_path):
     assert joined
     for r in joined:
         assert abs(r["priority"] - r["rank"] / top) < 1e-9
+
+
+def test_robots_auto_from_corpus(spark, tmp_path):
+    """robots='auto': the rules come from the corpus's own /robots.txt
+    pages (the Scrapy fetch-and-obey flow). Disallowed paths never fetch;
+    other hosts crawl normally."""
+    rows = [
+        ("https://a.org/robots.txt", "User-agent: *\nDisallow: /private/\n"),
+        ("https://a.org/private/x", "secret"),
+        ("https://a.org/public/y", "fine"),
+        ("https://b.org/anything", "open"),
+    ]
+    pages = (
+        spark.createDataFrame(rows, "url string, text string")
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("html", F.encode("text", "UTF-8"))
+        .withColumn("lang", F.lit("en"))
+    )
+    seeds2 = spark.createDataFrame(
+        [(u, h, 1.0) for u, h in [
+            ("https://a.org/private/x", "a.org"),
+            ("https://a.org/public/y", "a.org"),
+            ("https://b.org/anything", "b.org"),
+        ]],
+        "url string, host string, priority double",
+    ).withColumn("discovered_ts", F.current_timestamp())
+    sd = str(tmp_path / "autorobots")
+    run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=2, max_per_host=10, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10),
+        robots="auto",
+    )
+    fetched = {r["url"] for r in
+               spark.read.parquet(f"{sd}/iter_0000/records").collect()}
+    assert "https://a.org/private/x" not in fetched
+    assert {"https://a.org/public/y", "https://b.org/anything"} <= fetched
+
+
+def test_max_depth_limits_link_following(spark, tmp_path):
+    """Scrapy DEPTH_LIMIT parity: a seed -> hop1 -> hop2 chain crawled with
+    max_depth=1 fetches the seed and hop1 but never admits hop2."""
+    chain = [
+        ("https://c.org/seed", 'x <a href="https://c.org/hop1">l</a>'),
+        ("https://c.org/hop1", 'x <a href="https://c.org/hop2">l</a>'),
+        ("https://c.org/hop2", "deep page"),
+    ]
+    pages = (
+        spark.createDataFrame(chain, "url string, text string")
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("html", F.encode("text", "UTF-8"))
+        .withColumn("lang", F.lit("en"))
+    )
+    seeds2 = spark.createDataFrame(
+        [("https://c.org/seed", "c.org", 1.0)],
+        "url string, host string, priority double",
+    ).withColumn("discovered_ts", F.current_timestamp())
+    sd = str(tmp_path / "depth1")
+    res = run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=4, max_per_host=10, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10,
+                    max_depth=1),
+    )
+    fetched = set()
+    import os as _os
+    for d in _os.listdir(sd):
+        if d.startswith("iter_") and _os.path.isdir(f"{sd}/{d}") and \
+                _os.path.exists(f"{sd}/{d}/records"):
+            fetched |= {r["url"] for r in
+                        spark.read.parquet(f"{sd}/{d}/records").collect()}
+    assert "https://c.org/seed" in fetched
+    assert "https://c.org/hop1" in fetched
+    assert "https://c.org/hop2" not in fetched
+    # unlimited: the whole chain crawls
+    sd2 = str(tmp_path / "nodepth")
+    run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=4, max_per_host=10, salt=1,
+                    filter_mode="none", state_dir=sd2, keep_snapshots=10),
+    )
+    all_fetched = set()
+    for d in _os.listdir(sd2):
+        if d.startswith("iter_") and _os.path.isdir(f"{sd2}/{d}") and \
+                _os.path.exists(f"{sd2}/{d}/records"):
+            all_fetched |= {r["url"] for r in
+                            spark.read.parquet(f"{sd2}/{d}/records").collect()}
+    assert "https://c.org/hop2" in all_fetched
