@@ -152,6 +152,16 @@ class CrawlConfig:
                                      # Rides the meta map ('depth' key), so
                                      # enabling it forces meta threading;
                                      # None = unlimited (historical)
+    host_budget: int | None = None   # SURVEY §7(d) token-bucket with carry-
+                                     # over ACROSS iterations, batch twin of
+                                     # streaming/politeness.py: each host
+                                     # may fetch at most this many pages
+                                     # over the WHOLE run. Consumption state
+                                     # (host, used) persists with every
+                                     # durable snapshot and survives resume;
+                                     # exhausted hosts admit nothing (their
+                                     # frontier rows idle until the crawl
+                                     # ends). None = unlimited (historical)
     seen_store: str = "snapshot"     # 'snapshot' (url_seen fully rewritten
                                      # per durable iteration) | 'merge'
                                      # (sources/merge_store.py: Iceberg-
@@ -393,12 +403,15 @@ def run_crawl(
         link_meta = {**(link_meta or {}), "depth": depth_stamp}
     start_iter = 0
     frontier = url_seen = None
+    host_used = None  # (host, used) budget-consumption state
     resumed_seen_size = 0
     if resume:
         m = read_manifest(state_dir)
         if m is not None:
             start_iter = m["iteration"] + 1
             meta_live = meta_live or bool(m.get("meta_live"))
+            if cfg.host_budget is not None and m.get("host_used"):
+                host_used = spark.read.parquet(m["host_used"])
             frontier = spark.read.parquet(f"{state_dir}/iter_{m['iteration']:04d}/frontier")
             if m.get("seen_store") == "merge":
                 # the merge table commits every iteration but the manifest
@@ -425,6 +438,8 @@ def run_crawl(
             *(["meta"] if "meta" in seeds.columns else []),
         ).withColumn("attempt", F.lit(0))
         url_seen = spark.createDataFrame([], "url string, last_ts timestamp")
+    if cfg.host_budget is not None and host_used is None:
+        host_used = spark.createDataFrame([], "host string, used long")
     # meta threading (FRONTIER_SCHEMA): tolerate meta-less seeds and
     # pre-meta resume snapshots by adding an empty map
     if "meta" not in frontier.columns:
@@ -621,9 +636,22 @@ def run_crawl(
             if cfg.salt_mode == "adaptive"
             else None
         )
+        fetch_caps = None
+        eff_cap = cfg.max_per_host
+        if cfg.host_budget is not None:
+            # remaining budget per SEEN host; unseen hosts get the default,
+            # which is itself clamped to the whole-run budget
+            fetch_caps = host_used.select(
+                "host",
+                F.greatest(
+                    F.lit(0), F.lit(cfg.host_budget) - F.col("used")
+                ).alias("cap"),
+            )
+            eff_cap = min(cfg.max_per_host, cfg.host_budget)
         wave_pre = (
             select_wave(
-                frontier, cfg.max_per_host, cfg.salt, host_salts=host_salts
+                frontier, eff_cap, cfg.salt, host_salts=host_salts,
+                host_fetch_caps=fetch_caps,
             )
             .drop("wave_rank")
             .persist()
@@ -734,6 +762,9 @@ def run_crawl(
             if ccf is not None:
                 _persist_cuckoo(spark, ccf, f"{it_dir}/cuckoo")
                 extra["cuckoo"] = f"{it_dir}/cuckoo"
+            if cfg.host_budget is not None:
+                host_used = _snapshot(host_used, f"{it_dir}/host_used")
+                extra["host_used"] = f"{it_dir}/host_used"
             _write_manifest(state_dir, it, extra)
             wave_pre.unpersist()
             # vacuum old snapshots here too: consecutive empty-fetch
@@ -873,6 +904,17 @@ def run_crawl(
                 .drop("_r")
             )
 
+        if cfg.host_budget is not None:
+            # carry-over: fold this wave's per-host fetch counts into the
+            # running consumption state (tiny: one row per host ever seen)
+            host_used = (
+                host_used.unionByName(
+                    fetched.groupBy("host").agg(F.count("*").alias("used"))
+                )
+                .groupBy("host")
+                .agg(F.sum("used").alias("used"))
+            )
+
         # bloom_table delta: OR the wave's hashes into the shard bitmaps —
         # a cogroup job, still zero filter bytes on the driver
         new_bloom = None
@@ -986,8 +1028,13 @@ def run_crawl(
                 # persist its blobs beside the snapshot for O(bytes) resume
                 _persist_cuckoo(spark, ccf, f"{it_dir}/cuckoo")
                 manifest_extra["cuckoo"] = f"{it_dir}/cuckoo"
+            if cfg.host_budget is not None:
+                host_used = _snapshot(host_used, f"{it_dir}/host_used")
+                manifest_extra["host_used"] = f"{it_dir}/host_used"
             _write_manifest(state_dir, it, manifest_extra)
 
+        if cfg.host_budget is not None and not durable:
+            host_used = host_used.localCheckpoint(eager=True)
         gated.unpersist()
         fetched.unpersist()
         wave_pre.unpersist()

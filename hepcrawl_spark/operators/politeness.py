@@ -97,6 +97,7 @@ def select_wave(
     host_caps: DataFrame | None = None,
     wave_budget_s: float | None = None,
     host_salts: DataFrame | None = None,
+    host_fetch_caps: DataFrame | None = None,
 ) -> DataFrame:
     """P1/P2/P4: per-host politeness wave.
 
@@ -116,8 +117,24 @@ def select_wave(
     the uniform ``salt`` with a PER-HOST factor: listed (hot) hosts split
     into their own shard count, unlisted hosts keep the uniform base. The
     per-host politeness cap divides across that host's shards exactly as in
-    the uniform case."""
+    the uniform case.
+
+    ``host_fetch_caps`` (host, cap) — a DIRECT per-host row cap for this
+    wave (e.g. the remaining crawl budget, SURVEY §7(d) token-bucket
+    carry-over): listed hosts are capped at ``least(cap, max_per_host)``
+    (0 admits nothing), unlisted hosts keep ``max_per_host``."""
     cap_col = F.lit(max_per_host)
+    if host_fetch_caps is not None:
+        fc = host_fetch_caps.select(
+            F.col("host").alias("_fc_host"), F.col("cap").alias("_fc_cap")
+        )
+        frontier = frontier.join(
+            F.broadcast(fc), F.col(host_col) == F.col("_fc_host"), "left"
+        ).drop("_fc_host")
+        cap_col = F.least(
+            F.coalesce(F.col("_fc_cap"), F.lit(max_per_host)).cast("int"),
+            F.lit(max_per_host),
+        )
     if host_caps is not None:
         if wave_budget_s is None:
             raise ValueError("host_caps requires wave_budget_s")
@@ -133,9 +150,14 @@ def select_wave(
         frontier = frontier.join(
             F.broadcast(caps), F.col(host_col) == F.col("_cap_host"), "left"
         ).drop("_cap_host")
-        cap_col = F.least(F.coalesce(F.col("_host_cap"), F.lit(max_per_host)),
-                          F.lit(max_per_host))
+        # compose with whatever cap already applies (fetch caps above):
+        # least() of all active constraints; defaults preserve history
+        cap_col = F.least(
+            F.coalesce(F.col("_host_cap"), F.lit(max_per_host)), cap_col
+        )
     drop_cols = ["_host_cap"] if host_caps is not None else []
+    if host_fetch_caps is not None:
+        drop_cols.append("_fc_cap")
     if host_salts is not None:
         salts = host_salts.select(
             F.col("host").alias("_s_host"), F.col("salt").alias("_host_salt")
@@ -144,7 +166,11 @@ def select_wave(
             F.broadcast(salts), F.col(host_col) == F.col("_s_host"), "left"
         ).drop("_s_host")
         per_salt = F.coalesce(F.col("_host_salt"), F.lit(max(salt, 1)))
-        cap_col = F.greatest(F.lit(1), (cap_col / per_salt).cast("int"))
+        # a zero cap (exhausted budget) must stay zero through the shard
+        # division — greatest(1, ...) alone would re-admit one row per shard
+        cap_col = F.when(cap_col <= 0, F.lit(0)).otherwise(
+            F.greatest(F.lit(1), (cap_col / per_salt).cast("int"))
+        )
         part = F.when(per_salt <= 1, F.col(host_col)).otherwise(
             F.concat(
                 F.col(host_col),
@@ -155,7 +181,9 @@ def select_wave(
         drop_cols.append("_host_salt")
     else:
         if salt > 1:
-            cap_col = F.greatest(F.lit(1), (cap_col / salt).cast("int"))
+            cap_col = F.when(cap_col <= 0, F.lit(0)).otherwise(
+                F.greatest(F.lit(1), (cap_col / salt).cast("int"))
+            )
         part = salted_host(host_col, order_cols[-1], salt)
     w = (
         Window.partitionBy(part)

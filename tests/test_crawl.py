@@ -639,3 +639,49 @@ def test_max_depth_limits_link_following(spark, tmp_path):
             all_fetched |= {r["url"] for r in
                             spark.read.parquet(f"{sd2}/{d}/records").collect()}
     assert "https://c.org/hop2" in all_fetched
+
+
+def test_host_budget_carry_over_across_iterations(spark, tmp_path):
+    """SURVEY §7(d) in the batch loop: a per-host crawl budget whose
+    consumption carries over across iterations AND across resume. Host A
+    has 30 crawlable pages, budget 12, wave cap 5 -> fetches 5, 5, 2 and
+    then nothing; host B (under budget) is unaffected."""
+    rows = [(f"https://a.org/p{i}", "no links here") for i in range(30)]
+    rows += [(f"https://b.org/p{i}", "no links here") for i in range(4)]
+    pages = (
+        spark.createDataFrame(rows, "url string, text string")
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("html", F.encode("text", "UTF-8"))
+        .withColumn("lang", F.lit("en"))
+    )
+    seeds2 = pages.select(
+        "url",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.lit(1.0).alias("priority"),
+        F.col("warc_ts").alias("discovered_ts"),
+    )
+    sd = str(tmp_path / "budget")
+    res = run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=3, max_per_host=5, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10,
+                    host_budget=12),
+    )
+    per_host = lambda d: {
+        r["host"]: r["n"]
+        for r in spark.read.parquet(f"{sd}/{d}/records")
+        .select(F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"))
+        .groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host("iter_0000") == {"a.org": 5, "b.org": 4}
+    assert per_host("iter_0001")["a.org"] == 5
+    assert per_host("iter_0002")["a.org"] == 2  # budget 12 = 5 + 5 + 2
+    # the budget survives RESUME: two more iterations admit nothing from A
+    res2 = run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=5, max_per_host=5, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10,
+                    host_budget=12),
+        resume=True,
+    )
+    assert sum(i.fetched for i in res2.iterations) == 0
