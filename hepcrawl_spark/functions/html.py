@@ -30,27 +30,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType, StructField, StructType
 
 _SKIP = {"script", "style", "noscript", "template"}
+# block-level elements whose close (or self-close, for br/hr) ends a text
+# block when the caller asks for paragraph structure
+_BLOCK = {
+    "p", "div", "li", "td", "th", "tr", "h1", "h2", "h3", "h4", "h5", "h6",
+    "blockquote", "pre", "section", "article", "br", "hr",
+}
 
 
 class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.parts: list[str] = []
+        self.blocks: list[list[str]] = []   # completed text blocks
+        self.parts: list[str] = []          # the open block
         self.title_parts: list[str] = []
         self._skip_depth = 0
         self._in_title = False
+
+    def _flush(self):
+        if self.parts:
+            self.blocks.append(self.parts)
+            self.parts = []
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP:
             self._skip_depth += 1
         elif tag == "title":
             self._in_title = True
+        elif tag in ("br", "hr"):
+            self._flush()
 
     def handle_endtag(self, tag):
         if tag in _SKIP and self._skip_depth:
             self._skip_depth -= 1
         elif tag == "title":
             self._in_title = False
+        elif tag in _BLOCK:
+            self._flush()
 
     def handle_data(self, data):
         if self._skip_depth:
@@ -62,8 +78,19 @@ class _Extractor(HTMLParser):
             " ".join(chunk)
         )
 
+    def text(self, block_separator: str = " ") -> str:
+        """Joined visible text. The default single-space separator is
+        byte-identical to the historical flat join (the c23 oracle
+        contract); a blank-line separator preserves block structure so
+        downstream paragraph-level operators (``dedup.paragraph_dedup``)
+        see real paragraphs."""
+        self._flush()
+        return block_separator.join(" ".join(b) for b in self.blocks)
 
-def extract_text(html: bytes | str | None) -> tuple[str | None, str | None]:
+
+def extract_text(
+    html: bytes | str | None, block_separator: str = " "
+) -> tuple[str | None, str | None]:
     """-> (visible text, title) — driver/test-side single-doc twin."""
     if html is None:
         return None, None
@@ -72,15 +99,20 @@ def extract_text(html: bytes | str | None) -> tuple[str | None, str | None]:
     p = _Extractor()
     p.feed(html)
     p.close()
-    return " ".join(p.parts), " ".join(p.title_parts) or None
+    return p.text(block_separator), " ".join(p.title_parts) or None
 
 
 def html_to_text(
-    pages: DataFrame, html_col: str = "html", out_col: str = "text"
+    pages: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    block_separator: str = " ",
 ) -> DataFrame:
     """Append ``out_col`` (visible text) + ``title`` extracted from the
     binary/string html column. Narrow mapInPandas; all other columns carry
-    through unchanged."""
+    through unchanged. ``block_separator="\n\n"`` keeps block boundaries
+    as blank lines (paragraph-preserving mode for the corpus pipeline);
+    the default flat join is byte-identical to the historical behavior."""
     keep = list(pages.schema.fields)
     out_schema = StructType(
         keep + [StructField(out_col, StringType()), StructField("title", StringType())]
@@ -91,7 +123,7 @@ def html_to_text(
         for pdf in batches:
             texts, titles = [], []
             for blob in pdf[html_col]:
-                t, ti = extract_text(blob)
+                t, ti = extract_text(blob, block_separator)
                 texts.append(t)
                 titles.append(ti)
             out = pdf[names].copy()

@@ -490,3 +490,59 @@ def paragraph_dedup(
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+def verify_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    id_col: str = "doc_id",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    text_col: str = "text",
+) -> DataFrame:
+    """The standard LSH VERIFY step: exact n-gram Jaccard computed ONLY for
+    candidate pairs, keeping those >= ``threshold``. A banded LSH emits the
+    occasional false candidate (a lucky band collision between unrelated
+    docs); clustering raw candidates would chain unrelated documents into
+    one component and drop real content as "duplicates".
+
+    Scale shape: work is bounded by the CANDIDATE set, never all pairs —
+    one semi-join restricts the shingle table to candidate docs, one
+    equi-join on (right doc, shingle) counts intersections, set sizes come
+    from a per-doc aggregate. Returns (id_a, id_b, jaccard)."""
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    cand_ids = (
+        pairs.select(F.col(left_col).alias(id_col))
+        .unionByName(pairs.select(F.col(right_col).alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(cand_ids, id_col, "left_semi").persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    a = sh.select(F.col(id_col).alias(left_col), "shingle")
+    b = sh.select(F.col(id_col).alias(right_col), "shingle")
+    inter = (
+        pairs.select(left_col, right_col)
+        .join(a, left_col)
+        .join(b, [right_col, "shingle"])
+        .groupBy(left_col, right_col)
+        .agg(F.count("*").alias("_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias(left_col), F.col("_sz").alias("_sa")),
+            left_col,
+        )
+        .join(
+            sizes.select(F.col(id_col).alias(right_col), F.col("_sz").alias("_sb")),
+            right_col,
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(left_col, right_col, "jaccard")
+    )
+    return out

@@ -1,0 +1,150 @@
+"""spark-submit entrypoint for the TRAINING-CORPUS pipeline — the second
+headline workflow beside the crawl fixpoint:
+
+    WARC archives (or a pages table) -> record scan -> html -> visible text
+    -> Gopher quality rules -> within-doc repetition filter
+    -> cross-corpus paragraph dedup -> MinHash/LSH near-dup clustering
+    -> benchmark decontamination -> token-window chunks -> deterministic mix
+
+    spark-submit --py-files hepcrawl_spark.zip jobs/corpus_job.py \
+        --input s3://bucket/warc_parquet --input-format warc \
+        --output s3://bucket/corpus_v1 \
+        --min-quality-pass --max-dup-line-frac 0.3 \
+        --chunk-tokens 512 --sample-rate 0.5
+
+Every stage is the public operator API; the pipeline is one lazy DataFrame
+chain per stage boundary, so Catalyst fuses what it can and each materialized
+stage writes its audit counts next to the output. At 100 TB the only
+corpus-sized shuffles are the paragraph-hash dedup, the shingle pass, and
+the final chunk explode — everything else is narrow or broadcast.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="hepcrawl_spark corpus pipeline")
+    p.add_argument("--input", required=True, help="parquet table of pages or WARC blobs")
+    p.add_argument("--input-format", default="pages", choices=["pages", "warc"],
+                   help="pages: (url, text); warc: (warc_id, payload) binary archives")
+    p.add_argument("--output", required=True, help="output dir (corpus + audit tables)")
+    p.add_argument("--min-quality-pass", action="store_true",
+                   help="drop documents failing the Gopher rule set")
+    p.add_argument("--max-dup-line-frac", type=float, default=None,
+                   help="drop documents whose duplicate-line fraction exceeds this")
+    p.add_argument("--neardup-threshold", type=float, default=0.7,
+                   help="exact-jaccard verify threshold for LSH candidates")
+    p.add_argument("--benchmarks", default=None,
+                   help="parquet (bench_id, text) to decontaminate against")
+    p.add_argument("--chunk-tokens", type=int, default=0,
+                   help=">0: emit token-window chunks of this size")
+    p.add_argument("--sample-rate", type=float, default=1.0,
+                   help="deterministic hash-threshold mix sampling rate")
+    return p.parse_args(argv)
+
+
+def run(spark, args) -> dict:
+    import pyspark.sql.functions as F
+
+    from hepcrawl_spark.functions.html import html_to_text
+    from hepcrawl_spark.operators.dedup import (
+        decontaminate,
+        minhash_lsh_candidates,
+        paragraph_dedup,
+        verify_jaccard_pairs,
+    )
+    from hepcrawl_spark.operators.components import dedup_clusters
+    from hepcrawl_spark.operators.scrub import chunk_documents, sample_hash
+    from hepcrawl_spark.operators.textstats import gopher_rules, repetition_features
+    from hepcrawl_spark.sources.warc import explode_warc_records
+
+    audit: dict = {}
+    if args.input_format == "warc":
+        warcs = spark.read.parquet(args.input)
+        recs = explode_warc_records(warcs).filter(F.col("http_status") == 200)
+        docs = html_to_text(
+            recs.select(F.xxhash64("url").alias("doc_id"), "url", "body"),
+            html_col="body",
+            block_separator="\n\n",  # paragraph-preserving: the
+            # cross-corpus paragraph dedup below needs real block breaks
+        ).select("doc_id", "url", "text")
+    else:
+        pages = spark.read.parquet(args.input)
+        docs = pages.select(
+            F.xxhash64("url").alias("doc_id"), "url", "text"
+        )
+    docs = docs.filter(F.length(F.trim("text")) > 0)
+    audit["input_docs"] = docs.count()
+
+    # quality gates (annotate-then-filter: rejected rows stay auditable)
+    if args.min_quality_pass:
+        verdicts = gopher_rules(docs)
+        verdicts.write.mode("overwrite").parquet(f"{args.output}/audit_gopher")
+        docs = docs.join(
+            verdicts.filter("passes").select("doc_id"), "doc_id", "left_semi"
+        )
+        audit["after_gopher"] = docs.count()
+    if args.max_dup_line_frac is not None:
+        rep = repetition_features(docs)
+        keep = rep.filter(
+            F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
+            <= args.max_dup_line_frac
+        ).select("doc_id")
+        docs = docs.join(keep, "doc_id", "left_semi")
+        audit["after_repetition"] = docs.count()
+
+    # cross-corpus dedup: paragraphs first (boilerplate), then near-dup docs
+    docs = paragraph_dedup(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "url"), "doc_id"
+    ).filter(F.length("text") > 0).select("doc_id", "url", "text")
+    # LSH candidates -> exact-jaccard VERIFY -> clusters: a lucky band
+    # collision between unrelated docs must not chain their components
+    pairs = verify_jaccard_pairs(
+        docs, minhash_lsh_candidates(docs, num_hashes=16, bands=4),
+        threshold=args.neardup_threshold,
+    )
+    clusters = dedup_clusters(
+        pairs, docs.select("doc_id"), id_col="doc_id",
+        left_col="id_a", right_col="id_b",
+    )
+    docs = docs.join(
+        clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+    )
+    audit["after_neardup"] = docs.count()
+
+    if args.benchmarks:
+        bench = spark.read.parquet(args.benchmarks)
+        docs = decontaminate(docs, bench, threshold=0.5)
+        audit["after_decontamination"] = docs.count()
+
+    if args.sample_rate < 1.0:
+        # deterministic hash-threshold sampling: same (doc_id, seed) ->
+        # same fate on every re-run and in every subset
+        docs = docs.filter(
+            sample_hash("doc_id", "corpus_mix") < F.lit(args.sample_rate)
+        )
+        audit["after_sampling"] = docs.count()
+
+    out = docs
+    if args.chunk_tokens > 0:
+        out = chunk_documents(docs, chunk_tokens=args.chunk_tokens)
+        audit["chunks"] = out.count()
+    out.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    return audit
+
+
+def main(argv=None) -> None:
+    from hepcrawl_spark.session import get_spark
+
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    spark = get_spark(app_name="hepcrawl-corpus")
+    audit = run(spark, args)
+    print(json.dumps(audit))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,7 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--max-per-host", type=int, default=100)
     p.add_argument("--salt", type=int, default=4)
     p.add_argument("--filter-mode", default="auto",
-                   choices=["bloom", "bloom_table", "cuckoo", "none"])
+                   choices=["auto", "bloom", "bloom_table", "cuckoo", "none"])
     p.add_argument("--seen-store", default="snapshot",
                    choices=["snapshot", "merge"])
     p.add_argument("--snapshot-every", type=int, default=1)

@@ -352,3 +352,32 @@ def test_gopher_rules_verdicts(spark):
     # null/blank text: zero words, every null check coalesces to False
     for d in (6, 7):
         assert out[d]["n_words"] == 0 and out[d]["passes"] is False
+
+
+def test_verify_jaccard_equals_exact_on_candidates(spark):
+    """The LSH verify step must compute the SAME jaccard as the exact
+    all-pairs operator, restricted to the candidate set — and kill false
+    candidates below threshold."""
+    from hepcrawl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        verify_jaccard_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 120")
+        .select("doc_id", "text")
+    )
+    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    ver = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in verify_jaccard_pairs(docs, cands, threshold=0.3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    expected = {p: j for p, j in exact.items() if p in cand_set}
+    assert ver == expected
