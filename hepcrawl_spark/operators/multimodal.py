@@ -443,3 +443,102 @@ def synthesize_media(spark, n: int = 100) -> DataFrame:
         F.lit(480).alias("meta_height"),
         (F.col("id") % 1000).cast("int").alias("meta_duration_ms"),
     )
+
+
+META_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sniffed_mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("probe_error", StringType(), True),
+    ]
+)
+
+
+def _probe_one(payload: bytes):
+    """-> (mime, width, height, duration_ms) from container HEADERS only —
+    no pixel/sample decode, so jpeg/gif dimensions are extractable even
+    though their payload codecs need external libs."""
+    import struct
+
+    if payload[:3] == b"\xff\xd8\xff":  # JPEG: scan markers for SOFn
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", payload, i + 5)
+                return "image/jpeg", w, h, None
+            i += 2 + seg_len
+        raise ValueError("jpeg: no SOF marker")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", payload, 16)  # IHDR is always first
+        return "image/png", w, h, None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return "image/gif", w, h, None
+    if payload[:2] == b"BM":
+        _, w, h = struct.unpack_from("<Iii", payload, 14)
+        return "image/bmp", w, abs(h), None
+    if payload[:2] in (b"P6", b"P5"):
+        import re
+
+        head = re.sub(rb"#[^\n]*", b"", payload[2:300])  # strip comments
+        toks = head.split()
+        return "image/x-portable-pixmap", int(toks[0]), int(toks[1]), None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk chunks for fmt (rate, block align) + data size
+        i, rate, align, data = 12, None, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            sz = struct.unpack_from("<I", payload, i + 4)[0]
+            if cid == b"fmt ":
+                _fmt, _ch, rate = struct.unpack_from("<HHI", payload, i + 8)
+                align = struct.unpack_from("<H", payload, i + 20)[0]
+            elif cid == b"data":
+                data = sz
+            i += 8 + sz + (sz & 1)
+        if rate and align and data is not None:
+            return "audio/wav", None, None, int(data / align / rate * 1000)
+        raise ValueError("wav: missing fmt/data chunk")
+    raise ValueError(f"unknown container: {payload[:4]!r}")
+
+
+def probe_media_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed-metadata extraction from media container HEADERS (the schema-
+    on-read step a 100-TB media lake runs before any decode): sniffed mime
+    + dimensions (jpeg/png/gif/bmp/ppm) or duration (wav) per row, errors
+    as rows. Header parsing needs only the first KB, no media libraries —
+    so jpeg/gif metadata is REAL here even though their pixel codecs are
+    environment-gated. Narrow mapInPandas; payload bytes never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf["media_id"].to_numpy(), "sniffed_mime": [],
+                   "width": [], "height": [], "duration_ms": [], "probe_error": []}
+            for p in pdf[payload_col]:
+                try:
+                    mime, w, h, d = _probe_one(bytes(p) if p is not None else b"")
+                    err = None
+                except Exception as exc:
+                    mime = w = h = d = None
+                    err = f"{type(exc).__name__}: {exc}"
+                out["sniffed_mime"].append(mime)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(d)
+                out["probe_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batches, META_PROBE_SCHEMA
+    )

@@ -102,3 +102,44 @@ def test_png_decode_roundtrip():
         assert (_decode_image(make_png(6, 9, 11, color_type=ct)) == px).all()
     with pytest.raises(NotImplementedError, match="IHDR"):
         _decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+
+
+def test_probe_media_metadata(spark):
+    """Header-level typed-metadata extraction: jpeg/gif dims are REAL from
+    container headers even though their pixel codecs are env-gated; errors
+    become rows."""
+    import struct
+
+    from hepcrawl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_bmp,
+        make_png,
+        make_ppm,
+        make_wav,
+        probe_media_metadata,
+    )
+
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 10
+    rows = [
+        (0, "image", None, bytearray(jpeg), None, None, None),
+        (1, "image", None, bytearray(gif), None, None, None),
+        (2, "image", None, bytearray(make_png(6, 9, 1)), None, None, None),
+        (3, "image", None, bytearray(make_bmp(8, 6, 1)), None, None, None),
+        (4, "image", None, bytearray(make_ppm(8, 6, 1)), None, None, None),
+        (5, "audio", None, bytearray(make_wav(4000, 1, rate=8000)), None, None, None),
+        (6, "video", None, bytearray(b"garbage"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in probe_media_metadata(media).collect()}
+    assert (got[0]["sniffed_mime"], got[0]["width"], got[0]["height"]) == ("image/jpeg", 640, 480)
+    assert (got[1]["sniffed_mime"], got[1]["width"], got[1]["height"]) == ("image/gif", 12, 34)
+    assert (got[2]["width"], got[2]["height"]) == (6, 9)
+    assert (got[3]["width"], got[3]["height"]) == (8, 6)
+    assert (got[4]["width"], got[4]["height"]) == (8, 6)
+    assert got[5]["sniffed_mime"] == "audio/wav" and got[5]["duration_ms"] == 500
+    assert got[6]["sniffed_mime"] is None and "unknown container" in got[6]["probe_error"]
