@@ -156,10 +156,14 @@ def main() -> None:
         "quality_tokens",
         lambda: X.quality_features(docs_big).agg(F.avg("quality_score")).collect(),
     )
+    # over the PROSE documents table: the crawl corpus is deliberate link
+    # soup (6 url-tokens/page, mean word length ~37) which the rules
+    # correctly reject wholesale — a 0.0 stat would carry no signal
+    prose = spark.read.parquet(f"{sf_dir}/documents.parquet")
     extras["gopher_pass_frac"] = timed(
         "gopher_rules",
         lambda: round(
-            X.gopher_rules(docs_big)
+            X.gopher_rules(prose)
             .agg(F.avg(F.col("passes").cast("double")))
             .collect()[0][0],
             4,
