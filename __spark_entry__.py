@@ -1596,6 +1596,61 @@ def x3b_minhash_lsh_candidates(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+# -- X22: the LSH VERIFY step (candidate-bounded exact jaccard) ---------------
+# Composes the x3b candidate construction with the x2 exact-jaccard math:
+# exact jaccard computed ONLY over the LSH candidate pairs, thresholded —
+# the step that stops a lucky band collision from chaining unrelated docs
+# into one dedup component. jaccard emitted as ppm integers (see x2).
+@_q(
+    "x22_lsh_verified_pairs",
+    f"""WITH {_SHINGLE_CTE},
+    sig AS ({_sig_select()}),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN grams a ON a.doc_id = c.id_a
+      JOIN grams b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.inter / (sa.set_size + sb.set_size - i.inter) * 1e6)
+                AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.set_size + sb.set_size - i.inter) >= 0.3
+    ORDER BY i.id_a, i.id_b""",
+)
+def x22_lsh_verified_pairs(spark, sf):
+    from hepcrawl_spark.operators.dedup import verify_jaccard_pairs
+
+    docs = _docs(spark, sf)
+    cands = D.minhash_lsh_candidates(docs, num_hashes=_MH_N, bands=4)
+    return (
+        verify_jaccard_pairs(docs, cands, threshold=0.3)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # -- X4: simhash fingerprints ----------------------------------------------------------------------------------
 _SH_BITS = 16
 
@@ -2766,9 +2821,8 @@ _GATE_HEAD = [
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
     "w1_tumbling_window", "s13_json_extract",
     "j2_affiliation_lookup", "s12_batch_feed", "p2_host_pressure",
-    "j5_fetch_join",
     # never gated (added round 4)
-    "x20_paragraph_dedup", "x21_gopher_rules",
+    "x20_paragraph_dedup", "x21_gopher_rules", "x22_lsh_verified_pairs",
 ]
 _GATE_TAIL = [
     # green in CORRECTNESS_r03.json, zero code churn in round 4
@@ -2783,8 +2837,9 @@ _GATE_TAIL = [
     "x19_decontamination", "s3_missing_anti_join", "s4_zip_members",
     "s5_tar_members_xml", "s6_tar_members_pdf", "f2_harvest_worthy",
     "f4_open_access_split", "p6_retry_decay",
-    # r02-green, unchanged - bumped from the window by x20/x21; next round
-    "p5_robots_gate", "x1_exact_dedup",
+    # r02-green, unchanged - bumped from the window by x20/x21/x22;
+    # rotate back next round
+    "p5_robots_gate", "x1_exact_dedup", "j5_fetch_join",
 ]
 
 

@@ -10,7 +10,7 @@ future edit can't regress them silently:
 
 Plans are built, not executed — except d1d/d1e, whose one-time state setup
 (memoized per session) runs a few small jobs before returning a pure,
-auditable plan. All 81 queries are audited, zero skips.
+auditable plan. Every gate query is audited, zero skips.
 """
 
 import pytest
