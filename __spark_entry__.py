@@ -2540,7 +2540,7 @@ def f5b_jats_parse(spark, sf):
        NULL, 'ValueError: Expecting value: line 1 column 1 (char 0)',
        'not json at all', NULL
     FROM documents WHERE doc_id < 50 AND doc_id % 5 = 0
-    ORDER BY url, title""",
+    ORDER BY url, title NULLS FIRST""",
 )
 def f5c_desy_parse(spark, sf):
     from hepcrawl_spark.parsers.desy import parse_desy_pages

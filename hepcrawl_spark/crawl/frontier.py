@@ -61,6 +61,7 @@ from ..operators.politeness import (
     robots_gate,
     select_wave,
 )
+from .robots import robots_gate_rfc
 from ..sources import merge_store
 
 
@@ -364,6 +365,13 @@ def run_crawl(
                 F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "text"
             )
         ).persist()  # one small row per rule per host; reused every wave
+    # rules with Allow rows need the RFC longest-match gate; checked once
+    # (the rules table is tiny) so the per-wave choice is a plain branch
+    robots_has_allow = (
+        robots is not None
+        and "allow" in robots.columns
+        and robots.filter(F.col("allow") == "allow").limit(1).count() > 0
+    )
     if cfg.filter_mode == "auto":
         from dataclasses import replace as _dc_replace
 
@@ -601,14 +609,17 @@ def run_crawl(
             if bf is not None:
                 bf.add(h)
             elif ccf is not None and len(h):
-                # delta insert: only keys the filter doesn't already claim.
-                # might_contain is deterministic per key, so skipping a
-                # "present" key (true hit OR fp collision) can never turn
-                # into a later false negative; re-crawled urls stay covered
-                # by their existing fingerprint (the reference's replace =
-                # delete+insert of the same key is a membership no-op).
-                fresh = ~ccf.might_contain(h.astype(np.uint64))
-                failed = ccf.insert_batch(h[fresh])
+                # delta insert: EVERY wave key gets its own fingerprint copy
+                # (multiset semantics). The round-3 code pre-filtered with
+                # might_contain to skip "already present" keys — but a skip
+                # on a FALSE-POSITIVE collision meant that key was never
+                # actually inserted, and a later delete of it (recrawl
+                # sweep) would evict the colliding fingerprint of a LIVE
+                # key -> false negative -> crawl-once violated. Inserting
+                # unconditionally costs ~fpp extra load and makes
+                # delete_batch of any inserted key always sound: n inserts
+                # leave n copies, one delete removes one.
+                failed = ccf.insert_batch(h)
                 if failed:
                     raise ValueError(
                         f"resident cuckoo overflow: {failed} delta inserts "
@@ -656,7 +667,17 @@ def run_crawl(
             .drop("wave_rank")
             .persist()
         )
-        wave = robots_gate(wave_pre, robots) if robots is not None else wave_pre
+        # full RFC 9309 precedence when the rules carry Allow rows (an
+        # 'Disallow: / + Allow: /public/' robots.txt must NOT black-hole
+        # the whole host); the cheaper prefix anti-join covers the
+        # disallow-only common case. Both gates are broadcast-side only.
+        wave = (
+            (robots_gate_rfc if robots_has_allow else robots_gate)(
+                wave_pre, robots
+            )
+            if robots is not None
+            else wave_pre
+        )
 
         # 3. crawl-once gate with membership prefilter. The probed wave is
         # persisted: the gate's fresh/maybe split reads it twice, and without

@@ -57,7 +57,11 @@ class _Extractor(HTMLParser):
             self._skip_depth += 1
         elif tag == "title":
             self._in_title = True
-        elif tag in ("br", "hr"):
+        elif tag in _BLOCK:
+            # a block START also ends any open text run: '<p>a<p>b' (the
+            # implicitly-closed form real pages use constantly) must yield
+            # two blocks, and '<div>intro<p>para</p></div>' must not merge
+            # intro into the paragraph
             self._flush()
 
     def handle_endtag(self, tag):

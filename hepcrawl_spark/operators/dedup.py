@@ -518,7 +518,11 @@ def verify_jaccard_pairs(
         .unionByName(pairs.select(F.col(right_col).alias(id_col)))
         .distinct()
     )
-    sh = sh.join(cand_ids, id_col, "left_semi").persist()
+    # deliberately NOT persisted: the shingle subquery recomputes per
+    # branch (sizes + two join sides), but a persist here would leak cached
+    # partitions for the session's lifetime on every call — callers running
+    # this inside a long-lived pipeline can persist `docs` themselves
+    sh = sh.join(cand_ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     a = sh.select(F.col(id_col).alias(left_col), "shingle")
     b = sh.select(F.col(id_col).alias(right_col), "shingle")

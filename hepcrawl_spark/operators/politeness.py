@@ -14,9 +14,10 @@ polite fetcher may issue to one host during one fixpoint wave.
 Skew (north rule: the arxiv.org hotspot): a single hot host would put its
 whole frontier partition on one task. ``salted_host`` splits hosts into
 ``salt`` shards; the window then ranks within (host, shard) so both the
-shuffle AND the politeness cap distribute. Per-host cap stays exact because
-the cap is divided across shards (cap_per_shard = cap / salt, hot hosts get
-cap rounded up per shard).
+shuffle AND the politeness cap distribute. The per-host cap divides
+EXACTLY across shards (floor + remainder-to-low-shards), so the total
+admitted per host equals min(cap, pending) for any cap — including caps
+below the shard count (crawl-budget remainders) and zero.
 
 Scale notes: one shuffle on the salted host key; AQE skew-join splitting
 covers residual imbalance. No driver-side collection anywhere.
@@ -37,16 +38,20 @@ def salted_host(host: Column | str, url: Column | str, salt: int) -> Column:
     return F.concat(h, F.lit("#"), F.pmod(F.xxhash64(u), F.lit(salt)).cast("string"))
 
 
-def detect_hot_hosts(frontier: DataFrame, k_times_median: int = 8) -> DataFrame:
-    """Hosts whose pending count exceeds k x median — candidates for salting.
-
-    One cheap aggregation per iteration (groupBy host -> count); the median
-    comes from approx percentile, all JVM-side.
-    """
-    counts = frontier.groupBy("host").agg(F.count("*").alias("n"))
+def _host_pressure(frontier: DataFrame, host_col: str = "host") -> DataFrame:
+    """(host, n, m): per-host pending counts crossed with the approx-median
+    — the ONE copy of the skew heuristic both detect_hot_hosts and
+    adaptive_host_salt build on. One cheap aggregation, all JVM-side."""
+    counts = frontier.groupBy(host_col).agg(F.count("*").alias("n"))
     med = counts.agg(F.percentile_approx("n", 0.5).alias("m"))
+    return counts.crossJoin(F.broadcast(med))
+
+
+def detect_hot_hosts(frontier: DataFrame, k_times_median: int = 8) -> DataFrame:
+    """Hosts whose pending count exceeds k x median — candidates for
+    salting (p2 oracle contract: byte-identical output)."""
     return (
-        counts.crossJoin(F.broadcast(med))
+        _host_pressure(frontier)
         .filter(F.col("n") > F.col("m") * k_times_median)
         .select("host", "n")
     )
@@ -69,20 +74,15 @@ def adaptive_host_salt(
     One cheap groupBy(host) aggregation per iteration; the result holds
     HOT hosts only (factor 1 implied for the rest), so it stays tiny and
     broadcastable. Returns (host, salt)."""
-    counts = frontier.groupBy(host_col).agg(F.count("*").alias("n"))
-    med = counts.agg(
-        F.greatest(
-            F.lit(1.0), F.percentile_approx("n", 0.5).cast("double")
-        ).alias("m")
-    )
+    mg = F.greatest(F.lit(1.0), F.col("m").cast("double"))  # singleton guard
     return (
-        counts.crossJoin(F.broadcast(med))
-        .filter(F.col("n") > F.col("m") * k_times_median)
+        _host_pressure(frontier, host_col)
+        .filter(F.col("n") > mg * k_times_median)
         .select(
             F.col(host_col).alias("host"),
             F.least(
                 F.lit(max_salt),
-                F.ceil(F.col("n") / (F.col("m") * k_times_median)).cast("int"),
+                F.ceil(F.col("n") / (mg * k_times_median)).cast("int"),
             ).alias("salt"),
         )
     )
@@ -158,6 +158,17 @@ def select_wave(
     drop_cols = ["_host_cap"] if host_caps is not None else []
     if host_fetch_caps is not None:
         drop_cols.append("_fc_cap")
+    # EXACT cap division across shards: shard k of s gets
+    # floor(cap/s) + (1 if k < cap mod s else 0), so the per-host total is
+    # exactly min(cap, rows) for ANY cap — including cap < s (the old
+    # greatest(1, cap/s) floor admitted up to s rows there, which let a
+    # host overshoot its remaining crawl budget by up to s-1 fetches) and
+    # cap == 0 (exhausted budget admits nothing).
+    def _shard_cap(cap, shard, s):
+        return F.floor(cap / s).cast("int") + F.when(
+            shard < F.pmod(cap, s), F.lit(1)
+        ).otherwise(F.lit(0))
+
     if host_salts is not None:
         salts = host_salts.select(
             F.col("host").alias("_s_host"), F.col("salt").alias("_host_salt")
@@ -166,24 +177,16 @@ def select_wave(
             F.broadcast(salts), F.col(host_col) == F.col("_s_host"), "left"
         ).drop("_s_host")
         per_salt = F.coalesce(F.col("_host_salt"), F.lit(max(salt, 1)))
-        # a zero cap (exhausted budget) must stay zero through the shard
-        # division — greatest(1, ...) alone would re-admit one row per shard
-        cap_col = F.when(cap_col <= 0, F.lit(0)).otherwise(
-            F.greatest(F.lit(1), (cap_col / per_salt).cast("int"))
-        )
+        shard = F.pmod(F.xxhash64(F.col(order_cols[-1])), per_salt)
+        cap_col = _shard_cap(cap_col, shard, per_salt)
         part = F.when(per_salt <= 1, F.col(host_col)).otherwise(
-            F.concat(
-                F.col(host_col),
-                F.lit("#"),
-                F.pmod(F.xxhash64(F.col(order_cols[-1])), per_salt).cast("string"),
-            )
+            F.concat(F.col(host_col), F.lit("#"), shard.cast("string"))
         )
         drop_cols.append("_host_salt")
     else:
         if salt > 1:
-            cap_col = F.when(cap_col <= 0, F.lit(0)).otherwise(
-                F.greatest(F.lit(1), (cap_col / salt).cast("int"))
-            )
+            shard = F.pmod(F.xxhash64(F.col(order_cols[-1])), F.lit(salt))
+            cap_col = _shard_cap(cap_col, shard, F.lit(salt))
         part = salted_host(host_col, order_cols[-1], salt)
     w = (
         Window.partitionBy(part)

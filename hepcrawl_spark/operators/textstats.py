@@ -116,9 +116,13 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+# the PUBLIC output contract of record_features (after the JVM md5
+# projection); the mapInPandas worker itself emits _WORKER_FIELDS and the
+# fingerprint column is derived from _canon JVM-side
 RECORD_FEATURES_FIELDS = (
     "n_tokens int, n_pieces long, en_score double, fingerprint string"
 )
+_WORKER_FIELDS = "n_tokens int, n_pieces long, en_score double, _canon string"
 
 
 def _batch_canonical(norm):
@@ -200,7 +204,7 @@ def record_features(
     in_types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
     out_schema = ", ".join(
         f"{c} {in_types[c]}" for c in keep_cols
-    ) + ", n_tokens int, n_pieces long, en_score double, _canon string"
+    ) + ", " + _WORKER_FIELDS
 
     def batches(it):
         for pdf in it:

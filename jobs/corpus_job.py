@@ -63,6 +63,20 @@ def run(spark, args) -> dict:
     from hepcrawl_spark.sources.warc import explode_warc_records
 
     audit: dict = {}
+    # each audited stage is persisted so its count AND every downstream
+    # stage read the cached rows instead of re-running the whole upstream
+    # chain (the WARC explode + html extraction dominate); earlier stages
+    # unpersist as soon as the next one is materialized
+    _cached: list = []
+
+    def _stage(df, name):
+        df = df.persist()
+        audit[name] = df.count()
+        while len(_cached) > 1:
+            _cached.pop(0).unpersist()
+        _cached.append(df)
+        return df
+
     if args.input_format == "warc":
         warcs = spark.read.parquet(args.input)
         recs = explode_warc_records(warcs).filter(F.col("http_status") == 200)
@@ -77,30 +91,34 @@ def run(spark, args) -> dict:
         docs = pages.select(
             F.xxhash64("url").alias("doc_id"), "url", "text"
         )
-    docs = docs.filter(F.length(F.trim("text")) > 0)
-    audit["input_docs"] = docs.count()
+    docs = _stage(docs.filter(F.length(F.trim("text")) > 0), "input_docs")
 
     # quality gates (annotate-then-filter: rejected rows stay auditable)
     if args.min_quality_pass:
         verdicts = gopher_rules(docs)
         verdicts.write.mode("overwrite").parquet(f"{args.output}/audit_gopher")
-        docs = docs.join(
-            verdicts.filter("passes").select("doc_id"), "doc_id", "left_semi"
+        docs = _stage(
+            docs.join(
+                verdicts.filter("passes").select("doc_id"), "doc_id", "left_semi"
+            ),
+            "after_gopher",
         )
-        audit["after_gopher"] = docs.count()
     if args.max_dup_line_frac is not None:
         rep = repetition_features(docs)
         keep = rep.filter(
             F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
             <= args.max_dup_line_frac
         ).select("doc_id")
-        docs = docs.join(keep, "doc_id", "left_semi")
-        audit["after_repetition"] = docs.count()
+        docs = _stage(docs.join(keep, "doc_id", "left_semi"), "after_repetition")
 
     # cross-corpus dedup: paragraphs first (boilerplate), then near-dup docs
-    docs = paragraph_dedup(docs.select("doc_id", "text")).join(
-        docs.select("doc_id", "url"), "doc_id"
-    ).filter(F.length("text") > 0).select("doc_id", "url", "text")
+    docs = _stage(
+        paragraph_dedup(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "url"), "doc_id")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "url", "text"),
+        "after_paragraph_dedup",
+    )
     # LSH candidates -> exact-jaccard VERIFY -> clusters: a lucky band
     # collision between unrelated docs must not chain their components
     pairs = verify_jaccard_pairs(
@@ -111,29 +129,36 @@ def run(spark, args) -> dict:
         pairs, docs.select("doc_id"), id_col="doc_id",
         left_col="id_a", right_col="id_b",
     )
-    docs = docs.join(
-        clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+    docs = _stage(
+        docs.join(
+            clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+        ),
+        "after_neardup",
     )
-    audit["after_neardup"] = docs.count()
 
     if args.benchmarks:
         bench = spark.read.parquet(args.benchmarks)
-        docs = decontaminate(docs, bench, threshold=0.5)
-        audit["after_decontamination"] = docs.count()
+        docs = _stage(
+            decontaminate(docs, bench, threshold=0.5), "after_decontamination"
+        )
 
     if args.sample_rate < 1.0:
         # deterministic hash-threshold sampling: same (doc_id, seed) ->
         # same fate on every re-run and in every subset
-        docs = docs.filter(
-            sample_hash("doc_id", "corpus_mix") < F.lit(args.sample_rate)
+        docs = _stage(
+            docs.filter(
+                sample_hash("doc_id", "corpus_mix") < F.lit(args.sample_rate)
+            ),
+            "after_sampling",
         )
-        audit["after_sampling"] = docs.count()
 
     out = docs
     if args.chunk_tokens > 0:
         out = chunk_documents(docs, chunk_tokens=args.chunk_tokens)
         audit["chunks"] = out.count()
     out.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    for df in _cached:
+        df.unpersist()
     return audit
 
 

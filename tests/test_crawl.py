@@ -685,3 +685,38 @@ def test_host_budget_carry_over_across_iterations(spark, tmp_path):
         resume=True,
     )
     assert sum(i.fetched for i in res2.iterations) == 0
+
+
+def test_robots_auto_allow_precedence(spark, tmp_path):
+    """'Disallow: / + Allow: /public/' must NOT black-hole the host: rules
+    with Allow rows route through the RFC 9309 longest-match gate in the
+    live loop."""
+    rows = [
+        ("https://a.org/robots.txt",
+         "User-agent: *\nDisallow: /\nAllow: /public/\n"),
+        ("https://a.org/public/ok", "allowed content"),
+        ("https://a.org/private/no", "blocked content"),
+        ("https://b.org/free", "open host"),
+    ]
+    pages = (
+        spark.createDataFrame(rows, "url string, text string")
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("html", F.encode("text", "UTF-8"))
+        .withColumn("lang", F.lit("en"))
+    )
+    seeds2 = spark.createDataFrame(
+        [("https://a.org/public/ok", "a.org", 1.0),
+         ("https://a.org/private/no", "a.org", 1.0),
+         ("https://b.org/free", "b.org", 1.0)],
+        "url string, host string, priority double",
+    ).withColumn("discovered_ts", F.current_timestamp())
+    sd = str(tmp_path / "allowprec")
+    run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=2, max_per_host=10, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10),
+        robots="auto",
+    )
+    fetched = {r["url"] for r in
+               spark.read.parquet(f"{sd}/iter_0000/records").collect()}
+    assert fetched == {"https://a.org/public/ok", "https://b.org/free"}

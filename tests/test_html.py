@@ -47,3 +47,17 @@ def test_no_shuffle(spark):
         [(1, bytearray(b"<p>x</p>"))], "page_id long, html binary"
     )
     assert exchange_count(html_to_text(pages)) == 0
+
+
+def test_block_separator_handles_implicit_close(spark):
+    """'<p>a<p>b' (the implicitly-closed form real pages use constantly)
+    must yield two blocks in paragraph mode, and text before a block start
+    must not merge into the block; the default flat join is unchanged."""
+    from hepcrawl_spark.functions.html import extract_text
+
+    t, _ = extract_text("<p>first para<p>second para</p>", "\n\n")
+    assert t == "first para\n\nsecond para"
+    t2, _ = extract_text("<div>intro<p>para</p></div>", "\n\n")
+    assert t2 == "intro\n\npara"
+    flat, _ = extract_text("<p>first para<p>second para</p>")
+    assert flat == "first para second para"

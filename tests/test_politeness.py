@@ -143,3 +143,24 @@ def test_adaptive_host_salt_bounds_hot_host_shards(spark):
     assert all(v <= 64 for v in per_host.values())
     # cold hosts keep the base (salt=1) behavior: full cap available
     assert per_host["h0.org"] == 20
+
+
+def test_exact_cap_division_across_shards(spark):
+    """A cap smaller than the shard count must admit exactly cap rows, not
+    one per shard (the old floor let a host overshoot its remaining crawl
+    budget by up to salt-1 fetches); larger caps divide exactly too."""
+    fr = _frontier(spark, n_hosts=1, per_host=40)
+    caps = spark.createDataFrame([("h0.org", 1)], "host string, cap int")
+    for salt in (1, 4, 8):
+        wave = P.select_wave(fr, max_per_host=10, salt=salt, host_fetch_caps=caps)
+        assert wave.count() == 1, f"salt={salt}"
+    # cap 0 admits nothing at any salt
+    zero = spark.createDataFrame([("h0.org", 0)], "host string, cap int")
+    assert P.select_wave(fr, 10, salt=4, host_fetch_caps=zero).count() == 0
+    # cap=7, salt=4: exactly 7 (old code admitted floor(7/4)=1 x 4 = 4)
+    seven = spark.createDataFrame([("h0.org", 7)], "host string, cap int")
+    assert P.select_wave(fr, 10, salt=4, host_fetch_caps=seven).count() == 7
+    # adaptive path: same exactness through per-host salt factors
+    hot = spark.createDataFrame([("h0.org", 4)], "host string, salt int")
+    assert P.select_wave(fr, 10, salt=1, host_salts=hot,
+                         host_fetch_caps=seven).count() == 7
