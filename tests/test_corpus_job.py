@@ -72,3 +72,49 @@ def test_corpus_job_warc_to_chunks(spark, tmp_path):
     assert banner <= 1
     # audit table written for the quality stage
     assert spark.read.parquet(f"{out}/audit_gopher").count() == 7
+
+
+def test_corpus_job_pages_with_decontamination_and_sampling(spark, tmp_path):
+    """The pages-table input path plus the two flags the WARC test skips:
+    benchmark decontamination (docs overlapping the benchmark set drop)
+    and deterministic mix sampling (re-run stable)."""
+    import hashlib
+
+    def body(i):
+        # 60 distinct pseudo-words per doc -> docs are NOT near-dups of
+        # each other; doc 3's text doubles as the benchmark entry
+        toks = [hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:6]
+                for j in range(60)]
+        return "the document " + " ".join(toks) + f" unique tail {i}"
+
+    rows = [(f"https://p.org/{i}", body(i)) for i in range(20)]
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(pages_dir)
+    # benchmark set = the exact opening shingles of doc 3's text
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1, rows[3][1])], "bench_id long, text string"
+    ).write.parquet(bench_dir)
+    out = str(tmp_path / "corpus")
+
+    args = parse_args([
+        "--input", pages_dir, "--input-format", "pages",
+        "--output", out, "--benchmarks", bench_dir,
+        "--neardup-threshold", "0.95",
+        "--sample-rate", "0.5",
+    ])
+    audit = run(spark, args)
+    assert audit["input_docs"] == 20
+    # distinct docs all survive near-dup clustering; decontamination
+    # drops exactly the benchmark-overlapping doc 3
+    assert audit["after_neardup"] == 20
+    assert audit["after_decontamination"] == 19
+    assert 0 < audit["after_sampling"] < audit["after_decontamination"]
+    # deterministic: the same run yields the same audit
+    audit2 = run(spark, parse_args([
+        "--input", pages_dir, "--input-format", "pages",
+        "--output", str(tmp_path / "corpus2"), "--benchmarks", bench_dir,
+        "--neardup-threshold", "0.95",
+        "--sample-rate", "0.5",
+    ]))
+    assert audit2 == audit
