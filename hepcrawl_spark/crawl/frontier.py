@@ -321,7 +321,10 @@ def _vacuum_snapshots(state_dir: str, keep: int) -> None:
     only after a durable manifest commit, so the manifest target (the newest
     dir) always survives — index arithmetic would delete the resume point
     when snapshot_every skips iterations."""
-    dirs = sorted(d for d in os.listdir(state_dir) if d.startswith("iter_"))
+    dirs = sorted(
+        (d for d in os.listdir(state_dir) if d.startswith("iter_")),
+        key=lambda d: int(d[5:]),  # numeric: 'iter_10000' > 'iter_9999'
+    )
     for d in dirs[: max(0, len(dirs) - keep)]:
         shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
@@ -365,12 +368,19 @@ def run_crawl(
                 F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "text"
             )
         ).persist()  # one small row per rule per host; reused every wave
-    # rules with Allow rows need the RFC longest-match gate; checked once
-    # (the rules table is tiny) so the per-wave choice is a plain branch
-    robots_has_allow = (
+    # rules with Allow rows OR RFC 9309 special characters ('*' wildcards,
+    # '$' end anchors) need the longest-match gate; the cheap prefix
+    # anti-join only handles plain disallow prefixes. Checked once (the
+    # rules table is tiny) so the per-wave choice is a plain branch.
+    robots_needs_rfc = (
         robots is not None
         and "allow" in robots.columns
-        and robots.filter(F.col("allow") == "allow").limit(1).count() > 0
+        and robots.filter(
+            (F.col("allow") == "allow")
+            | F.col("path_prefix").contains("*")
+            | F.col("path_prefix").endswith("$")
+        ).limit(1).count()
+        > 0
     )
     if cfg.filter_mode == "auto":
         from dataclasses import replace as _dc_replace
@@ -454,6 +464,13 @@ def run_crawl(
         frontier = frontier.withColumn(
             "meta", F.expr("CAST(map() AS map<string,string>)")
         )
+    if cfg.rank_priorities_every > 0 and not resume:
+        # a fresh run must not rank against a previous run's link graph;
+        # the append-only edge log is only valid within one run lineage.
+        # (Edges appended by crash-lost non-durable iterations of THIS run
+        # survive a resume — a slight, conservative over-weighting of
+        # already-seen links that only biases the priority heuristic.)
+        shutil.rmtree(f"{state_dir}/edges", ignore_errors=True)
     if cfg.seen_store == "merge" and not os.path.exists(f"{seen_dir}/HEAD"):
         # fresh run (or migration from snapshot layout): seed the bucketed
         # table once; every later iteration is a touched-buckets-only MERGE
@@ -672,7 +689,7 @@ def run_crawl(
         # the whole host); the cheaper prefix anti-join covers the
         # disallow-only common case. Both gates are broadcast-side only.
         wave = (
-            (robots_gate_rfc if robots_has_allow else robots_gate)(
+            (robots_gate_rfc if robots_needs_rfc else robots_gate)(
                 wave_pre, robots
             )
             if robots is not None
@@ -747,18 +764,38 @@ def run_crawl(
             # empty wave terminates the crawl. The extra count() runs solely
             # on this rare path.
             wave_n = wave_pre.count()
+            if wave_n == 0:
+                gated.unpersist()
+                fetched.unpersist()
+                if wave_probed is not None:
+                    wave_probed.unpersist()
+                wave_pre.unpersist()
+                break
+            it_dir = f"{state_dir}/iter_{it:04d}"
+            retired = frontier.join(wave_pre.select("url"), "url", "left_anti")
+            if cfg.max_attempts > 1:
+                # P6 must fire here too: a wave whose fetches ALL failed
+                # lands on this branch (fetched_n == 0 in fast mode), and
+                # without re-admission every url would silently drop at
+                # attempt 0 instead of retrying to max_attempts — behavior
+                # would diverge from detailed_stats=True runs, which route
+                # the same wave through the main path's retry.
+                failed = gated.join(corpus.select("url"), "url", "left_anti")
+                retry0 = decay_priority(
+                    failed.filter(F.col("attempt") < cfg.max_attempts - 1),
+                    decay=cfg.retry_decay,
+                )
+                retired = retired.unionByName(
+                    retry0.select(
+                        "url", "host", "priority", "discovered_ts",
+                        "attempt", "meta",
+                    )
+                )
+            frontier = _snapshot(retired, f"{it_dir}/frontier")
             gated.unpersist()
             fetched.unpersist()
             if wave_probed is not None:
                 wave_probed.unpersist()
-            if wave_n == 0:
-                wave_pre.unpersist()
-                break
-            it_dir = f"{state_dir}/iter_{it:04d}"
-            frontier = _snapshot(
-                frontier.join(wave_pre.select("url"), "url", "left_anti"),
-                f"{it_dir}/frontier",
-            )
             if cfg.seen_store == "merge":
                 # url_seen unchanged this iteration and the merge table is
                 # already durable — no rewrite, manifest keeps pointing at it

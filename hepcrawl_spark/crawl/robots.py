@@ -129,18 +129,41 @@ def robots_gate_rfc(
     max((len, is_allow)) gives longest-prefix-then-allow precedence without
     fanning the frontier out per rule or grouping it back. (The previous
     join+groupBy formulation also broke on frontiers carrying a map-typed
-    ``meta`` column — maps are unorderable grouping keys.)"""
+    ``meta`` column — maps are unorderable grouping keys.)
+
+    RFC 9309 §2.2.3 special characters: ``*`` in a rule path matches any
+    character sequence and a trailing ``$`` anchors the end of the path —
+    such rules carry a pre-translated regex (``rx``, built ONCE per rule on
+    the tiny broadcast side); plain rules keep the cheap ``startswith``.
+    Precedence length is the rule's octet length either way (the RFC's
+    most-specific-match measure)."""
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    p = F.col("path_prefix")
+    is_pat = p.contains("*") | p.endswith("$")
+    # regex translation: escape metacharacters, then '*' -> '.*'; a rule-
+    # final '$' becomes a real end anchor, everything is start-anchored
+    esc = F.regexp_replace(p, r"([.^$*+?(){}\[\]\\|])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\\\*", ".*")
+    rx = F.when(
+        p.endswith("$"),
+        F.concat(F.lit("^"), F.regexp_replace(wild, r"\\\$$", ""), F.lit("$")),
+    ).otherwise(F.concat(F.lit("^"), wild))
     host_rules = rules.groupBy(F.col("host").alias("_r_host")).agg(
         F.collect_list(
             F.struct(
-                F.col("path_prefix").alias("p"),
+                p.alias("p"),
+                F.when(is_pat, rx).alias("rx"),  # null = plain prefix rule
                 (F.col("allow") == "allow").alias("a"),
             )
         ).alias("_rules")
     )
     best = F.aggregate(
-        F.filter(F.col("_rules"), lambda s: F.col("_path").startswith(s["p"])),
+        F.filter(
+            F.col("_rules"),
+            lambda s: F.when(
+                s["rx"].isNull(), F.col("_path").startswith(s["p"])
+            ).otherwise(F.regexp_like(F.col("_path"), s["rx"])),
+        ),
         F.lit(None).cast("struct<l:int,a:boolean>"),
         lambda acc, s: F.when(
             acc.isNull()

@@ -184,7 +184,15 @@ def merge_delete(spark: SparkSession, table_dir: str, where: str) -> int:
     if not touched:
         return 0
     old_paths = [m["buckets"][str(b)] for b in touched]
-    kept = spark.read.parquet(*old_paths).filter(f"NOT ({where})")
+    # keep rows whose predicate is FALSE **or NULL**: WHEN MATCHED AND
+    # <where> only deletes rows where the predicate is definitely true —
+    # a bare NOT(where) filter would silently drop NULL-predicate rows
+    # (e.g. a NULL last_ts) that share a bucket with a real match
+    from pyspark.sql import functions as _F
+
+    kept = spark.read.parquet(*old_paths).filter(
+        ~_F.coalesce(_F.expr(where), _F.lit(False))
+    )
     new_dirs = _write_buckets(kept, table_dir, snap, key, n_buckets)
     buckets = dict(m["buckets"])
     for b in touched:

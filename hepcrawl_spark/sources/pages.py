@@ -157,20 +157,28 @@ def synthesize_corpus(
     Built entirely from ``spark.range`` column expressions: generation itself
     scales linearly with executors (no driver loop, no Python UDF).
     """
+    # n_hosts=1: everything is host 0 — max(1, n_hosts-1) keeps the pmod
+    # divisor nonzero (ANSI mode raises DIVIDE_BY_ZERO even on the branch
+    # the when() discards); the when below then maps every page to host 0
+    cold_hosts = max(1, n_hosts - 1)
     df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
     pid = F.col("id")
-    hot = (F.xxhash64(pid, F.lit("hot")) % skew_host_share == 0)
+    hot = (F.xxhash64(pid, F.lit("hot")) % skew_host_share == 0) | F.lit(
+        n_hosts <= 1
+    )
     host_id = F.when(hot, F.lit(0)).otherwise(
-        F.pmod(F.xxhash64(pid, F.lit("host")), F.lit(n_hosts - 1)) + 1
+        F.pmod(F.xxhash64(pid, F.lit("host")), F.lit(cold_hosts)) + 1
     )
     host = F.concat(F.lit("host"), host_id.cast("string"), F.lit(".example.org"))
 
     link_cols = []
     for i in range(links_per_page):
         tgt = F.pmod(F.xxhash64(pid, F.lit(f"link{i}")), F.lit(n_pages))
-        tgt_hot = (F.xxhash64(tgt, F.lit("hot")) % skew_host_share == 0)
+        tgt_hot = (F.xxhash64(tgt, F.lit("hot")) % skew_host_share == 0) | F.lit(
+            n_hosts <= 1
+        )
         tgt_host_id = F.when(tgt_hot, F.lit(0)).otherwise(
-            F.pmod(F.xxhash64(tgt, F.lit("host")), F.lit(n_hosts - 1)) + 1
+            F.pmod(F.xxhash64(tgt, F.lit("host")), F.lit(cold_hosts)) + 1
         )
         link_cols.append(
             F.concat(

@@ -93,7 +93,11 @@ def _iter_warc_records(blob: bytes):
             if not block.startswith(b"WARC/"):
                 break  # not a record boundary: stop this member
             headers = _parse_headers(block)
-            length = int(headers.get("content-length", "0"))
+            try:
+                length = int(headers.get("content-length", "0"))
+            except ValueError:
+                break  # corrupt length: surface the intact prefix, like
+                       # the truncated-gzip and bad-status degradations
             payload = member[end + 4 : end + 4 + length]
             yield headers, payload
             pos = end + 4 + length

@@ -720,3 +720,37 @@ def test_robots_auto_allow_precedence(spark, tmp_path):
     fetched = {r["url"] for r in
                spark.read.parquet(f"{sd}/iter_0000/records").collect()}
     assert fetched == {"https://a.org/public/ok", "https://b.org/free"}
+
+
+def test_all_failed_wave_still_retries_in_fast_mode(spark, tmp_path):
+    """A wave whose fetches ALL fail lands on the empty-fetch branch in
+    fast mode (scheduled approximated by fetched_n == 0); with
+    max_attempts > 1 those urls must re-enter with attempt+1 — exactly as
+    a detailed_stats=True run would — not silently drop at attempt 0."""
+    pages = (
+        spark.createDataFrame(
+            [("https://real.org/p", "content")], "url string, text string"
+        )
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("html", F.encode("text", "UTF-8"))
+        .withColumn("lang", F.lit("en"))
+    )
+    ghosts = spark.createDataFrame(
+        [(f"https://gone.org/{i}", "gone.org", 1.0) for i in range(3)],
+        "url string, host string, priority double",
+    ).withColumn("discovered_ts", F.current_timestamp())
+    sd = str(tmp_path / "failwave")
+    res = run_crawl(
+        spark, pages, ghosts,  # every seed fails -> all-failed waves
+        CrawlConfig(max_iterations=5, max_per_host=10, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10,
+                    max_attempts=3, retry_decay=0.5),
+    )
+    f0 = spark.read.parquet(f"{sd}/iter_0000/frontier")
+    assert f0.count() == 3 and {r["attempt"] for r in f0.collect()} == {1}
+    f1 = spark.read.parquet(f"{sd}/iter_0001/frontier")
+    assert f1.count() == 3 and {r["attempt"] for r in f1.collect()} == {2}
+    # attempt 2 == max_attempts-1: retired for good, crawl terminates
+    f2 = spark.read.parquet(f"{sd}/iter_0002/frontier")
+    assert f2.count() == 0
+    assert len(res.iterations) == 3

@@ -244,3 +244,23 @@ def test_null_key_rows_dropped_from_delta(spark, base):
     delta = _mk(spark, [(None, dt.datetime(2025, 1, 1)), ("ok", dt.datetime(2025, 1, 1))])
     M.merge_upsert(spark, d, delta)
     assert _rows(spark, d) == before | {("ok", dt.datetime(2025, 1, 1))}
+
+
+def test_merge_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """WHEN MATCHED AND <where> THEN DELETE removes only rows whose
+    predicate is definitely TRUE; a NULL-predicate row (e.g. a NULL
+    last_ts) sharing a bucket with a real match must survive the bucket
+    rewrite."""
+    from hepcrawl_spark.sources import merge_store as MS
+
+    d = str(tmp_path / "nulldel")
+    base = spark.createDataFrame(
+        [("u_null", None), ("u_old", "2000-01-01 00:00:00"),
+         ("u_new", "2030-01-01 00:00:00")],
+        "url string, ts string",
+    ).select("url", F.to_timestamp("ts").alias("last_ts"))
+    MS.create_table(base, d, key="url", n_buckets=1)  # one shared bucket
+    n = MS.merge_delete(spark, d, "last_ts < timestamp '2020-01-01 00:00:00'")
+    assert n == 1  # one bucket rewritten
+    left = {r["url"] for r in MS.read_table(spark, d).collect()}
+    assert left == {"u_null", "u_new"}

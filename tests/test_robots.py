@@ -169,3 +169,30 @@ def test_sitemap_directive_discovery(spark):
         ("h.org", "https://h.org/sitemap.xml"),
         ("h.org", "https://h.org/sitemap2.xml"),
     }
+
+
+def test_rfc_gate_wildcard_and_anchor(spark):
+    """RFC 9309 §2.2.3: '*' matches any sequence, trailing '$' anchors the
+    path end; plain prefixes keep prefix semantics; longest rule (octet
+    length) still wins across pattern and plain rules."""
+    rules = spark.createDataFrame(
+        [("h.org", "disallow", "/private*", None),
+         ("h.org", "disallow", "/*.pdf$", None),
+         ("h.org", "allow", "/private-ok/", None)],
+        "host string, allow string, path_prefix string, crawl_delay double",
+    )
+    frontier = spark.createDataFrame(
+        [("https://h.org/private/x", "h.org"),     # matches /private*
+         ("https://h.org/private-ok/y", "h.org"),  # longer Allow wins
+         ("https://h.org/doc.pdf", "h.org"),       # $-anchored match
+         ("https://h.org/doc.pdfx", "h.org"),      # anchor rejects
+         ("https://h.org/a/b/file.pdf", "h.org"),  # '*' spans segments
+         ("https://h.org/open", "h.org")],
+        "url string, host string",
+    )
+    kept = {r["url"] for r in robots_gate_rfc(frontier, rules).collect()}
+    assert kept == {
+        "https://h.org/private-ok/y",
+        "https://h.org/doc.pdfx",
+        "https://h.org/open",
+    }
