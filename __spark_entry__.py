@@ -882,7 +882,7 @@ def j5_fetch_join(spark, sf):
         .select(
             "url",
             F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_str"),
-            F.length("text").alias("n_chars"),
+            F.length("text").cast("long").alias("n_chars"),
         )
         .orderBy("url")
     )
@@ -928,7 +928,11 @@ def j2_affiliation_lookup(spark, sf):
 )
 def p1_politeness_wave(spark, sf):
     wave = P.select_wave(_frontier(spark, sf), max_per_host=5, salt=1)
-    return wave.select("host", "url", "wave_rank").orderBy("host", "wave_rank")
+    # row_number() is int32 in Spark, BIGINT in DuckDB: cast for typed-hash
+    # parity (tools/check_oracle.py enforces result-type equality)
+    return wave.select(
+        "host", "url", F.col("wave_rank").cast("long").alias("wave_rank")
+    ).orderBy("host", "wave_rank")
 
 
 # -- P4: deterministic global dispatch order ----------------------------------
@@ -945,7 +949,9 @@ def p4_crawl_order(spark, sf):
     ordered = P.crawl_order(_frontier(spark, sf))
     return (
         ordered.filter(F.col("dispatch_order") <= 100)
-        .select("dispatch_order", "url")
+        .select(
+            F.col("dispatch_order").cast("long").alias("dispatch_order"), "url"
+        )
         .orderBy("dispatch_order")
     )
 
@@ -1695,7 +1701,7 @@ def _simhash_pairs_oracle(bands: int = 4, max_hamming: int = 3) -> str:
         ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
     )
     SELECT p.id_a, p.id_b,
-           bit_count(xor(fa.simhash, fb.simhash)) AS hamming
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
     FROM pairs p
     JOIN fp fa ON fa.doc_id = p.id_a
     JOIN fp fb ON fb.doc_id = p.id_b
@@ -1705,9 +1711,13 @@ def _simhash_pairs_oracle(bands: int = 4, max_hamming: int = 3) -> str:
 
 @_q("x12_simhash_candidates", _simhash_pairs_oracle())
 def x12_simhash_candidates(spark, sf):
-    return D.simhash_candidates(
-        _docs(spark, sf), bits=_SH_BITS, bands=4, max_hamming=3
-    ).orderBy("id_a", "id_b")
+    return (
+        D.simhash_candidates(
+            _docs(spark, sf), bits=_SH_BITS, bands=4, max_hamming=3
+        )
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 # -- X5: brute-force cosine top-k ---------------------------------------------------------------------------------
@@ -1767,7 +1777,8 @@ def x5_cosine_topk(spark, sf):
     out = S.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
     return out.select(
         "query_id", "neighbor_id",
-        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_ppm"), "rank"
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_ppm"),
+        F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
 
 
@@ -1794,7 +1805,8 @@ def x5b_ivf_topk(spark, sf):
     out = S.ivf_topk(emb, emb.filter("vec_id < 8"), k=5)
     return out.select(
         "query_id", "neighbor_id",
-        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_ppm"), "rank"
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_ppm"),
+        F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
 
 
@@ -1851,7 +1863,7 @@ def x8_token_counts(spark, sf):
         _docs(spark, sf)
         .select(
             "doc_id",
-            X.token_count_ws("text").alias("n_ws"),
+            X.token_count_ws("text").cast("long").alias("n_ws"),
             X.token_count_bpe_ish("text").alias("n_bpe"),
         )
         .orderBy("doc_id")
@@ -1968,7 +1980,7 @@ def x11_dedup_clusters(spark, sf):
     ), pl AS (
       SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY doc_id, line
     )
-    SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_unique_lines,
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines, count(*) AS n_unique_lines,
            CAST(round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
                  / sum(cnt) * 1e6) AS BIGINT) AS dup_line_ppm,
            CAST(round(sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END)::DOUBLE
@@ -2123,9 +2135,12 @@ def x17_mix_sampling(spark, sf):
 def x18_chunking(spark, sf):
     from hepcrawl_spark.operators.scrub import chunk_documents
 
-    return chunk_documents(
-        _docs(spark, sf), chunk_tokens=32, overlap=8
-    ).orderBy("doc_id", "chunk_id")
+    return (
+        chunk_documents(_docs(spark, sf), chunk_tokens=32, overlap=8)
+        .withColumn("chunk_id", F.col("chunk_id").cast("long"))
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    )
 
 
 # -- X19: benchmark decontamination ------------------------------------------
@@ -2214,7 +2229,7 @@ def x19_decontamination(spark, sf):
            coalesce(string_agg(CASE WHEN keep THEN para END,
                                chr(10) || chr(10) ORDER BY pos), '') AS text,
            count(*) AS n_paragraphs,
-           sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM m GROUP BY doc_id ORDER BY doc_id""",
 )
 def x20_paragraph_dedup(spark, sf):
@@ -2313,7 +2328,7 @@ def x21_gopher_rules(spark, sf):
     out = gopher_rules(t)
     ppm = lambda c, a: F.floor(F.col(c) * 1e6).cast("long").alias(a)
     return out.select(
-        "doc_id", "n_words",
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
         ppm("mean_word_len", "mean_wlen_ppm"),
         ppm("symbol_word_ratio", "symbol_ppm"),
         ppm("bullet_line_frac", "bullet_ppm"),

@@ -34,6 +34,7 @@ import json
 import os
 import shutil
 import time
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -363,11 +364,30 @@ def run_crawl(
             raise ValueError(f"robots must be a DataFrame, 'auto', or None: {robots!r}")
         from .robots import parse_robots_txt
 
+        rpages = pages.filter(F.parse_url("url", F.lit("PATH")) == "/robots.txt")
+        # robots.txt's grammar is LINE-oriented; the corpus's `text` column
+        # may have gone through html_to_text, which collapses newlines to
+        # spaces and turns the body into one directive-free line. Prefer
+        # the raw fetched bytes (`html`, cast utf-8) whenever they are
+        # non-empty and fall back to `text` only for byte-less corpora.
+        body = F.col("text")
+        if "html" in pages.columns:
+            raw = F.col("html").cast("string")
+            body = F.coalesce(F.when(F.length(raw) > 0, raw), F.col("text"))
         robots = parse_robots_txt(
-            pages.filter(F.parse_url("url", F.lit("PATH")) == "/robots.txt").select(
-                F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "text"
+            rpages.select(
+                F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+                body.alias("text"),
             )
         ).persist()  # one small row per rule per host; reused every wave
+        if robots.limit(1).count() == 0 and rpages.limit(1).count() > 0:
+            warnings.warn(
+                "robots='auto': the corpus has /robots.txt pages but zero "
+                "rules parsed from them — bodies are likely "
+                "whitespace-collapsed extractions; the crawl will obey no "
+                "robots rules",
+                stacklevel=2,
+            )
     # rules with Allow rows OR RFC 9309 special characters ('*' wildcards,
     # '$' end anchors) need the longest-match gate; the cheap prefix
     # anti-join only handles plain disallow prefixes. Checked once (the
@@ -679,7 +699,7 @@ def run_crawl(
         wave_pre = (
             select_wave(
                 frontier, eff_cap, cfg.salt, host_salts=host_salts,
-                host_fetch_caps=fetch_caps,
+                host_fetch_caps=fetch_caps, rotation=it,
             )
             .drop("wave_rank")
             .persist()
@@ -965,9 +985,16 @@ def run_crawl(
         if cfg.host_budget is not None:
             # carry-over: fold this wave's per-host fetch counts into the
             # running consumption state (tiny: one row per host ever seen)
+            # charge the budget by DISTINCT url: `fetched` is the gated
+            # INNER join against the corpus on url, so a corpus holding
+            # multiple captures per url (multiple warc_ts — the recrawl
+            # scenario) multiplies the join and a plain count(*) would
+            # charge one admitted fetch N times.
             host_used = (
                 host_used.unionByName(
-                    fetched.groupBy("host").agg(F.count("*").alias("used"))
+                    fetched.groupBy("host").agg(
+                        F.countDistinct("url").alias("used")
+                    )
                 )
                 .groupBy("host")
                 .agg(F.sum("used").alias("used"))

@@ -98,6 +98,7 @@ def select_wave(
     wave_budget_s: float | None = None,
     host_salts: DataFrame | None = None,
     host_fetch_caps: DataFrame | None = None,
+    rotation: int = 0,
 ) -> DataFrame:
     """P1/P2/P4: per-host politeness wave.
 
@@ -159,14 +160,19 @@ def select_wave(
     if host_fetch_caps is not None:
         drop_cols.append("_fc_cap")
     # EXACT cap division across shards: shard k of s gets
-    # floor(cap/s) + (1 if k < cap mod s else 0), so the per-host total is
-    # exactly min(cap, rows) for ANY cap — including cap < s (the old
-    # greatest(1, cap/s) floor admitted up to s rows there, which let a
-    # host overshoot its remaining crawl budget by up to s-1 fetches) and
-    # cap == 0 (exhausted budget admits nothing).
+    # floor(cap/s) + (1 if (k - rotation) mod s < cap mod s else 0), so the
+    # per-host total is exactly min(cap, rows) for ANY cap — including
+    # cap < s (the old greatest(1, cap/s) floor admitted up to s rows
+    # there, which let a host overshoot its remaining crawl budget by up
+    # to s-1 fetches) and cap == 0 (exhausted budget admits nothing).
+    # ``rotation`` (the caller's iteration counter) shifts WHICH shards
+    # receive the remainder each wave: shard assignment is a deterministic
+    # url hash, so without rotation a url landing in a zero-quota shard
+    # while cap < s is unselectable every wave (stranded budget /
+    # starvation); over s waves every shard takes a turn.
     def _shard_cap(cap, shard, s):
         return F.floor(cap / s).cast("int") + F.when(
-            shard < F.pmod(cap, s), F.lit(1)
+            F.pmod(shard - F.lit(rotation), s) < F.pmod(cap, s), F.lit(1)
         ).otherwise(F.lit(0))
 
     if host_salts is not None:

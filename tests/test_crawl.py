@@ -754,3 +754,115 @@ def test_all_failed_wave_still_retries_in_fast_mode(spark, tmp_path):
     f2 = spark.read.parquet(f"{sd}/iter_0002/frontier")
     assert f2.count() == 0
     assert len(res.iterations) == 3
+
+
+def test_robots_auto_parses_raw_bytes_when_text_collapsed(spark, tmp_path):
+    """robots='auto' must read the RAW fetched bytes: a robots.txt body
+    that went through html_to_text has its newlines collapsed to spaces
+    (one directive-free line), so parsing `text` would silently obey no
+    rules. The `html` column carries the line-oriented original."""
+    body = "User-agent: *\nDisallow: /private/\n"
+    collapsed = " ".join(body.split())
+    rows = [
+        ("https://a.org/robots.txt", collapsed, body),
+        ("https://a.org/private/x", "secret", "secret"),
+        ("https://a.org/public/y", "fine", "fine"),
+    ]
+    pages = (
+        spark.createDataFrame(rows, "url string, text string, raw string")
+        .withColumn("html", F.encode("raw", "UTF-8"))
+        .drop("raw")
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("lang", F.lit("en"))
+    )
+    seeds2 = pages.select(
+        "url",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.lit(1.0).alias("priority"),
+        F.col("warc_ts").alias("discovered_ts"),
+    ).filter(~F.col("url").endswith("robots.txt"))
+    sd = str(tmp_path / "rawrobots")
+    run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=2, max_per_host=10, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10),
+        robots="auto",
+    )
+    fetched = {r["url"] for r in
+               spark.read.parquet(f"{sd}/iter_0000/records").collect()}
+    assert "https://a.org/private/x" not in fetched
+    assert "https://a.org/public/y" in fetched
+
+
+def test_robots_auto_warns_when_no_rules_parse(spark, tmp_path):
+    """If the corpus HAS /robots.txt pages but zero rules parse from them
+    (e.g. byte-less corpus with whitespace-collapsed text), the crawl must
+    say so loudly instead of silently obeying nothing."""
+    body = "User-agent: *\nDisallow: /private/\n"
+    collapsed = " ".join(body.split())
+    rows = [
+        ("https://a.org/robots.txt", collapsed),
+        ("https://a.org/public/y", "fine"),
+    ]
+    pages = (
+        spark.createDataFrame(rows, "url string, text string")
+        .withColumn("html", F.encode(F.lit(""), "UTF-8"))  # byte-less corpus
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("lang", F.lit("en"))
+    )
+    seeds2 = pages.select(
+        "url",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.lit(1.0).alias("priority"),
+        F.col("warc_ts").alias("discovered_ts"),
+    ).filter(~F.col("url").endswith("robots.txt"))
+    sd = str(tmp_path / "warnrobots")
+    with pytest.warns(UserWarning, match="zero rules"):
+        run_crawl(
+            spark, pages, seeds2,
+            CrawlConfig(max_iterations=1, max_per_host=10, salt=1,
+                        filter_mode="none", state_dir=sd, keep_snapshots=10),
+            robots="auto",
+        )
+
+
+def test_host_budget_charges_distinct_urls_on_multicapture_corpus(spark, tmp_path):
+    """A corpus holding multiple captures per url (multiple warc_ts — the
+    recrawl scenario) multiplies the fetch join; the host budget must
+    charge each admitted url ONCE, not once per capture."""
+    rows = []
+    for i in range(3):
+        for ts in ("2024-01-01 00:00:00", "2024-02-01 00:00:00"):
+            rows.append((f"https://a.org/p{i}", "no links here", ts))
+    pages = (
+        spark.createDataFrame(rows, "url string, text string, ts string")
+        .withColumn("warc_ts", F.col("ts").cast("timestamp"))
+        .drop("ts")
+        .withColumn("html", F.encode("text", "UTF-8"))
+        .withColumn("lang", F.lit("en"))
+    )
+    seeds2 = (
+        pages.select(
+            "url",
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+            F.lit(1.0).alias("priority"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("discovered_ts"),
+        )
+        .distinct()
+    )
+    sd = str(tmp_path / "multicap")
+    run_crawl(
+        spark, pages, seeds2,
+        CrawlConfig(max_iterations=3, max_per_host=1, salt=1,
+                    filter_mode="none", state_dir=sd, keep_snapshots=10,
+                    host_budget=2),
+    )
+    import os as _os
+    fetched = set()
+    for d in _os.listdir(sd):
+        if d.startswith("iter_") and _os.path.exists(f"{sd}/{d}/records"):
+            fetched |= {r["url"] for r in
+                        spark.read.parquet(f"{sd}/{d}/records").collect()}
+    # budget 2 at one url/wave: exactly 2 distinct urls crawl (a count(*)
+    # charge would bill the first url twice and stop after one)
+    assert len(fetched) == 2

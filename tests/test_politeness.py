@@ -164,3 +164,29 @@ def test_exact_cap_division_across_shards(spark):
     hot = spark.createDataFrame([("h0.org", 4)], "host string, salt int")
     assert P.select_wave(fr, 10, salt=1, host_salts=hot,
                          host_fetch_caps=seven).count() == 7
+
+
+def test_shard_cap_rotation_unstrands_zero_quota_shards(spark):
+    """cap < shard count: shard assignment is a deterministic url hash, so
+    without rotation a url landing in a zero-quota shard is unselectable
+    every wave (stranded budget). Rotating the remainder assignment by the
+    caller's iteration counter gives every shard a turn while keeping the
+    per-wave total exact."""
+    fr = _frontier(spark, n_hosts=1, per_host=40)
+    caps = spark.createDataFrame([("h0.org", 1)], "host string, cap int")
+    url_shard = {
+        r["url"]: r["s"]
+        for r in fr.select(
+            "url", F.pmod(F.xxhash64("url"), F.lit(4)).alias("s")
+        ).collect()
+    }
+    assert len(set(url_shard.values())) == 4  # all four shards populated
+    picked_shards = []
+    for rot in range(4):
+        rows = P.select_wave(
+            fr, max_per_host=10, salt=4, host_fetch_caps=caps, rotation=rot
+        ).collect()
+        assert len(rows) == 1, f"rotation={rot}"  # exactness at every rotation
+        picked_shards.append(url_shard[rows[0]["url"]])
+    # the quota shard shifts each wave: 4 rotations touch 4 distinct shards
+    assert len(set(picked_shards)) == 4

@@ -20,6 +20,53 @@ TABLES = [
 ]
 
 
+def canon_duck_type(t) -> str:
+    """Canonicalize a DuckDB result type name for parity with Spark.
+
+    The driver's value hash is TYPE-SENSITIVE: DuckDB sum(int) returns
+    HUGEINT (int128) which hashes differently from Spark's int64 even when
+    every value is equal (the r03/r04 x14 + r04 x20 red rows). This maps
+    both engines' types onto one vocabulary so a representation mismatch
+    fails locally instead of in the driver gate.
+    """
+    s = str(t).upper()
+    if s.endswith("[]"):
+        return "array<" + canon_duck_type(s[:-2]) + ">"
+    base = s.split("(")[0].strip()
+    m = {
+        "BOOLEAN": "boolean", "TINYINT": "tinyint", "SMALLINT": "smallint",
+        "INTEGER": "int", "BIGINT": "bigint", "HUGEINT": "hugeint",
+        "UBIGINT": "ubigint", "UINTEGER": "uint",
+        "FLOAT": "float", "REAL": "float", "DOUBLE": "double",
+        "VARCHAR": "string", "BLOB": "binary", "DATE": "date",
+    }
+    if base in m:
+        return m[base]
+    if base.startswith("TIMESTAMP"):
+        return "timestamp"
+    if base.startswith("DECIMAL"):
+        return s.lower().replace(" ", "")
+    return s.lower()
+
+
+def canon_spark_type(dt) -> str:
+    s = dt.simpleString()
+    return s.replace("timestamp_ntz", "timestamp")
+
+
+def type_mismatches(sdf, duck_rel, ocols):
+    """Return [(col, spark_type, duck_type)] for columns whose canonical
+    result types differ between the Spark DataFrame and the DuckDB relation."""
+    sfields = {f.name.lower(): canon_spark_type(f.dataType) for f in sdf.schema.fields}
+    out = []
+    for c, dt in zip(ocols, duck_rel.types):
+        st = sfields.get(c.lower())
+        d = canon_duck_type(dt)
+        if st is not None and st != d:
+            out.append((c, st, d))
+    return out
+
+
 def normalize(rows, cols):
     out = []
     for row in rows:
@@ -70,12 +117,18 @@ def main():
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            mism = type_mismatches(sdf, rel, ocols)
+            orows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL {name}: oracle error {str(e)[:300]}")
+            continue
+        if mism:
+            failures.append((name, f"TYPE mismatch {mism}"))
+            print(f"FAIL {name}: result-type mismatch (driver hash is "
+                  f"type-sensitive): {mism}")
             continue
         if sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
             failures.append((name, f"schema mismatch {scols} vs {ocols}"))
