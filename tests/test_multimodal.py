@@ -143,3 +143,34 @@ def test_probe_media_metadata(spark):
     assert (got[4]["width"], got[4]["height"]) == (8, 6)
     assert got[5]["sniffed_mime"] == "audio/wav" and got[5]["duration_ms"] == 500
     assert got[6]["sniffed_mime"] is None and "unknown container" in got[6]["probe_error"]
+
+
+def test_probe_real_jpeg_through_mapinpandas(spark):
+    """A REAL encoder-produced baseline JPEG (IPython's well-known 2x2.jpg
+    test image, embedded verbatim) must yield its true dimensions through
+    the live mapInPandas probe — not just the synthetic SOF0 byte string."""
+    import base64
+
+    from hepcrawl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        probe_media_metadata,
+    )
+
+    real_jpeg = base64.b64decode(
+        "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+        "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAA"
+        "AQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQR"
+        "BRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RF"
+        "RkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ip"
+        "qrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEB"
+        "AAA/ACv/2Q=="
+    )
+    assert real_jpeg[:3] == b"\xff\xd8\xff" and len(real_jpeg) == 331
+    media = spark.createDataFrame(
+        [(0, "image", None, bytearray(real_jpeg), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    got = probe_media_metadata(media).collect()[0]
+    assert got["probe_error"] is None
+    assert got["sniffed_mime"] == "image/jpeg"
+    assert (got["width"], got["height"]) == (2, 2)

@@ -1,0 +1,142 @@
+"""Build the in-repo golden-fixture table for the f5x_arxiv_golden gate.
+
+Reads the REFERENCE arxiv fixture bodies (read-only) and writes:
+  fixtures/arxiv_golden_pages.parquet  — (url, warc_ts, html) pages rows
+  fixtures/arxiv_golden_expected.json  — per-record expected constants
+
+The expected constants come ONLY from reference-provided expectations —
+`sample_arxiv_record10_parsed.json` (the reference's own golden output for
+that record) and the assertions in the reference's test suite
+(`tests/unit/test_arxiv_all.py`: page_nr, document_type, collaborations per
+feed record; `test_arxiv_single.py`-style DOI split for record0) — NOT from
+running this repo's parser, so the driver gate checks byte-identity against
+the reference, not a self-fulfilling recipe. Feed positions are mapped to
+arxiv ids by scanning the fixture XML's <id> tags directly (a verbatim
+field copy, independent of the parser under test).
+
+Usage:  python tools/make_fixture_tables.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/tests/unit/responses/arxiv"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+FEED_URL = "https://export.arxiv.org/oai2/golden/feed"
+R0_URL = "https://export.arxiv.org/oai2/golden/record0"
+R10_URL = "https://export.arxiv.org/oai2/golden/record10"
+
+# Mirrored from the reference's tests/unit/test_arxiv_all.py expectations
+# for sample_arxiv_record.xml (12 records, in document order).
+FEED_PAGE_NR = [6, 8, 10, 11, None, 4, 8, 24, 23, None, None, 54]
+FEED_DOCTYPE = [
+    "conference paper", "conference paper", "conference paper",
+    "conference paper", "article", "conference paper", "article",
+    "article", "article", "conference paper", "thesis", "article",
+]
+FEED_COLLABS = [
+    ["Planck"], ["IceCube"], ["JLQCD"], ["NuPRISM", "Hyper-K"],
+    ["BICEP2", "Keck Array"], ["Planck"], ["DES"], [],
+    ["Super-Kamiokande"], ["CMS"], [], ["NA61/SHINE", "T2K Beam Group"],
+]
+# reference test_arxiv_single: record0's 3-DOI string splits on ', ' / ';'
+R0_DOIS = [
+    "10.1103/PhysRevD.93.016005",
+    "10.1103/PhysRevD.98.079901",
+    "10.1103/PhysRevD.98.079903",
+]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def feed_ids(body: str) -> list[str]:
+    """arXiv <id> values in document order — a verbatim field, extracted
+    without the parser under test."""
+    ids = []
+    for rec in re.findall(r"<record[ >].*?</record>", body, re.S):
+        m = re.search(r"<id>([^<]+)</id>", rec)
+        ids.append(m.group(1) if m else None)
+    return ids
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    feed_body = open(f"{REF}/sample_arxiv_record.xml", encoding="utf-8").read()
+    r0_body = open(f"{REF}/sample_arxiv_record0.xml", encoding="utf-8").read()
+    r10_body = open(f"{REF}/sample_arxiv_record10.xml", encoding="utf-8").read()
+
+    ids = feed_ids(feed_body)
+    assert len(ids) == 12 and all(ids), ids
+    r0_id = re.search(r"<id>([^<]+)</id>", r0_body).group(1)
+    r10_id = re.search(r"<id>([^<]+)</id>", r10_body).group(1)
+
+    gold = json.load(open(f"{REF}/sample_arxiv_record10_parsed.json"))[0][
+        "results_data"
+    ][0]
+    expected = []
+    for pos, (eid, pn, dt, co) in enumerate(
+        zip(ids, FEED_PAGE_NR, FEED_DOCTYPE, FEED_COLLABS)
+    ):
+        expected.append(
+            {
+                "url": FEED_URL, "arxiv_eprint": eid, "page_nr": pn,
+                "document_type": dt, "n_authors": None,
+                "collabs": ",".join(co), "dois_str": None,
+                "title_md5": None, "abstract_md5": None, "authors_md5": None,
+                "preprint_date": None, "license_url": None,
+            }
+        )
+    expected.append(
+        {
+            "url": R0_URL, "arxiv_eprint": r0_id, "page_nr": None,
+            "document_type": None, "n_authors": None, "collabs": None,
+            "dois_str": ",".join(R0_DOIS), "title_md5": None,
+            "abstract_md5": None, "authors_md5": None,
+            "preprint_date": None, "license_url": None,
+        }
+    )
+    expected.append(
+        {
+            "url": R10_URL, "arxiv_eprint": r10_id, "page_nr": None,
+            "document_type": gold["document_type"][0],
+            "n_authors": len(gold["authors"]), "collabs": None,
+            "dois_str": None,
+            "title_md5": _md5(gold["titles"][0]["title"]),
+            "abstract_md5": _md5(gold["abstracts"][0]["value"]),
+            "authors_md5": _md5("|".join(a["full_name"] for a in gold["authors"])),
+            "preprint_date": gold["preprint_date"],
+            "license_url": gold["license"][0]["url"],
+        }
+    )
+    with open(f"{OUT}/arxiv_golden_expected.json", "w") as f:
+        json.dump(expected, f, indent=1)
+
+    from hepcrawl_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    rows = [
+        (FEED_URL, feed_body.encode("utf-8")),
+        (R0_URL, r0_body.encode("utf-8")),
+        (R10_URL, r10_body.encode("utf-8")),
+    ]
+    df = (
+        spark.createDataFrame(rows, "url string, html binary")
+        .withColumn("warc_ts", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{OUT}/arxiv_golden_pages.parquet")
+    print("wrote", OUT, "records:", len(expected))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
