@@ -264,6 +264,48 @@ def main() -> None:
     extras["ivf_curve"] = curve
     emb.unpersist()
 
+    # -- ANN on a CLUSTERED corpus (round-4 verdict #3): the isotropic table
+    # above is the published hard case — recall there is scan-bounded by
+    # construction. Real embedding corpora have topical cluster structure;
+    # this mixture-of-50-Gaussians table (intra-cosine ~0.74, inter ~0.0,
+    # deterministic hash-noise — similarity.synthesize_clustered_embeddings)
+    # is where an IVF operating point can and must exist: the bar is
+    # recall@5 >= 0.9 at scan <= 0.15.
+    cemb = SIM.synthesize_clustered_embeddings(
+        spark, max(4000, 2 * n_emb), dim=64, n_clusters=50
+    ).persist()
+    cn = cemb.count()
+    cq = cemb.filter("vec_id < 32")
+    cexact = _pairs(timed("ann_exact_topk_clustered", lambda: SIM.cosine_topk(cemb, cq, k=5)))
+    cbuilt = SIM.ivf_build(cemb, n_cells=64, iterations=8, spill=1)
+    ccurve = []
+    for nprobe, timing_key in [(2, "ann_ivf_topk_clustered"), (4, None), (8, None)]:
+        def _crun(nprobe=nprobe):
+            topk, cand = SIM.ivf_topk_kmeans(cemb, cq, k=5, nprobe=nprobe, built=cbuilt)
+            return _pairs(topk), cand.count()
+        cpairs, cscanned = timed(timing_key, _crun) if timing_key else _crun()
+        crec = round(len(cpairs & cexact) / max(1, len(cexact)), 4)
+        cscan = round(cscanned / (32 * max(1, cn - 1)), 4)
+        ccurve.append({"cfg": f"np{nprobe}_s1", "nprobe": nprobe,
+                       "recall_at_5": crec, "scan_frac": cscan,
+                       "lift": round(crec / max(cscan, 1e-9), 2)})
+        if timing_key:
+            extras["ivf_clustered_recall_at_5"] = crec
+            extras["ivf_clustered_scan_frac"] = cscan
+            extras["ivf_clustered_lift"] = round(crec / max(cscan, 1e-9), 2)
+    extras["ivf_clustered_curve"] = ccurve
+    # LSH positioned on the same corpus: its niche is the train-free /
+    # streaming-friendly path — bits=6 x tables=8 clears 0.9 recall near
+    # 0.12 expected scan, but needs ~4x IVF's scan for less recall.
+    clsh = _pairs(
+        timed("ann_lsh_topk_clustered",
+              lambda: SIM.lsh_topk(cemb, cq, k=5, bits=6, tables=8))
+    )
+    clsh_scan = 1.0 - (1.0 - 2.0**-6) ** 8
+    extras["lsh_clustered_recall_at_5"] = round(len(clsh & cexact) / max(1, len(cexact)), 4)
+    extras["lsh_clustered_scan_frac"] = round(clsh_scan, 4)
+    cemb.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

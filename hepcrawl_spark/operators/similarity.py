@@ -381,3 +381,83 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# -- clustered-corpus synthesis ----------------------------------------------
+
+_SM_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 array -> well-mixed uint64."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _SM_MASK
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & _SM_MASK
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & _SM_MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _hash_normals(ids: np.ndarray, dim: int, seed: int) -> np.ndarray:
+    """[len(ids), dim] standard normals that are a PURE FUNCTION of
+    (seed, vec_id, component) — splitmix64 -> uniform -> Box-Muller — so the
+    generated table is identical under any partitioning / cluster size."""
+    base = ids.astype(np.uint64)[:, None] * np.uint64(2 * dim) + np.arange(
+        2 * dim, dtype=np.uint64
+    )[None, :]
+    with np.errstate(over="ignore"):
+        h = _splitmix64(base + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0**-53)  # (0, 1]
+    u1, u2 = u[:, :dim], u[:, dim:]
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
+def synthesize_clustered_embeddings(
+    spark,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 50,
+    spread: float = 0.6,
+    seed: int = 13,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic mixture-of-Gaussians embedding corpus — the geometry
+    real text/image embedding tables show (topical clusters with wide
+    inter-topic margins), in contrast to the ISOTROPIC testdata corpus
+    whose exact-top-k label purity is chance (round-3 finding) and which
+    therefore bounds any ANN index's recall by its scan fraction.
+
+    Each vector is its cluster's unit centroid plus isotropic noise of
+    expected norm ``spread``, renormalized: intra-cluster cosine
+    concentrates near 1/sqrt(1 + spread^2) (~0.86 at the 0.6 default)
+    while inter-centroid cosines concentrate near 0 (+-1/sqrt(dim)).
+    ``label`` carries the TRUE cluster id for ground-truth evaluation.
+
+    Scale: centroids are the only driver-side array (O(n_clusters x dim));
+    rows are generated executor-side by a vectorized Arrow batch whose
+    randomness is a pure hash of (seed, vec_id, component) — identical
+    output at any partitioning, any cluster size, no RNG state to ship.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    centers = _hash_normals(
+        np.arange(n_clusters, dtype=np.uint64), dim, seed ^ 0x5EED
+    )
+    centers /= np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    bcast = spark.sparkContext.broadcast(centers)
+    comp_sigma = spread / np.sqrt(dim)
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _vec(ids: pd.Series) -> pd.Series:
+        C = bcast.value
+        iv = ids.to_numpy(dtype=np.int64)
+        g = _hash_normals(iv.astype(np.uint64), dim, seed)
+        X = C[iv % n_clusters] + comp_sigma * g
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series([row.astype(np.float32).tolist() for row in X])
+
+    rng = spark.range(0, n, numPartitions=partitions) if partitions else spark.range(0, n)
+    return rng.select(
+        F.col("id").cast("long").alias("vec_id"),
+        _vec(F.col("id")).alias("embedding"),
+        (F.col("id") % n_clusters).cast("int").alias("label"),
+    )

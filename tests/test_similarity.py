@@ -65,3 +65,60 @@ def test_ivf_topk_plan_has_no_cartesian(spark, emb):
     plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # Arrow UDF only
+
+
+def test_clustered_embeddings_deterministic_and_separable(spark):
+    """The clustered ANN corpus (mixture of unit-centroid Gaussians) must be
+    (a) a pure function of (seed, vec_id) — identical under any
+    partitioning, the property that makes it reproducible on any cluster
+    size — and (b) actually clustered: intra-cosine high, inter-cosine
+    near 0, so an ANN operating point can exist (unlike the isotropic
+    testdata corpus where recall is scan-bounded)."""
+    import numpy as np
+
+    from hepcrawl_spark.operators.similarity import synthesize_clustered_embeddings
+
+    a = sorted(
+        synthesize_clustered_embeddings(spark, 600, n_clusters=20).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    b = sorted(
+        synthesize_clustered_embeddings(
+            spark, 600, n_clusters=20, partitions=7
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
+    X = np.array([r["embedding"] for r in a])
+    lab = np.array([r["label"] for r in a])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    same = lab[:, None] == lab[None, :]
+    iu = np.triu_indices(len(X), 1)
+    assert sims[iu][same[iu]].mean() > 0.6
+    assert abs(sims[iu][~same[iu]].mean()) < 0.1
+
+
+def test_ivf_meets_operating_point_on_clustered_corpus(spark):
+    """Round-4 verdict #3: on a corpus with real cluster structure the IVF
+    index must deliver recall@5 >= 0.9 at scan <= 0.15 (the isotropic
+    corpus caps recall at the scan fraction by construction, so the bar is
+    provable only here)."""
+    from hepcrawl_spark.operators import similarity as S
+
+    emb = S.synthesize_clustered_embeddings(spark, 2000, n_clusters=50).persist()
+    n = emb.count()
+    q = emb.filter("vec_id < 16")
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(S.cosine_topk(emb, q, k=5))
+    built = S.ivf_build(emb, n_cells=64, iterations=8, spill=1)
+    topk, cand = S.ivf_topk_kmeans(emb, q, k=5, nprobe=4, built=built)
+    got = pairs(topk)
+    recall = len(got & exact) / len(exact)
+    scan = cand.count() / (16 * (n - 1))
+    emb.unpersist()
+    assert recall >= 0.9, recall
+    assert scan <= 0.15, scan
