@@ -2892,38 +2892,19 @@ def f5x_arxiv_golden(spark, sf):
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed
 # since their last green driver row must sort first; next come queries whose
-# last green row is oldest (round-2); the tail holds queries green in r03
-# with zero code churn since. Round-4 head = 21 changed + 29 r02-stale = 50
-# exactly; every query's last green row is then at most one round old.
+# last green row is oldest; the tail holds queries green in the PREVIOUS
+# round with zero code churn since. Round-5 head = the full 33-query r04
+# tail (r02/r03-stale, three of whose modules — frontier/robots/dedup/warc/
+# merge_store — took round-4 hardening commits after their last gating) +
+# the two r04 red rows (x14/x20, oracle sums now CAST to BIGINT) + the
+# never-gated f5x golden + 9 queries whose result types were aligned this
+# round + d1c/d1d/d1e + p2 (frontier.py / politeness.py changed: robots
+# raw-bytes, shard-cap rotation, distinct-url budgets) + the 5-query ppm
+# family as regression canaries under the now-type-checked local gate = 50.
 _GATE_HEAD = [
-    # changed in round 4: f5* gained predictive oracles + doc_id predicates;
-    # x2/x2b/x5/x5b/x6/x13/x14/x15 emit hash-stable ppm integers; d1c/d1d
-    # touch the resized/memoized cuckoo lifecycle; d1e returns the un-
-    # checkpointed merge-table plan; p1/p4 ride the select_wave host_salts
-    # refactor (static path intended byte-exact - these two rows prove it)
-    "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
-    "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",
-    "x2_ngram_jaccard", "x2b_ngram_jaccard_capped",
-    "x5_cosine_topk", "x5b_ivf_topk", "x6_embedding_neardup",
-    "x13_pagerank", "x14_repetition", "x15_ngram_repetition",
-    "d1c_crawl_once_cuckoo", "d1d_crawl_once_cuckoo_delete", "d1e_merge_upsert",
-    "p1_politeness_wave", "p4_crawl_order",
-    # last green row is round 2 (rotated out of the r03 window), untouched
-    # since - rotate back in so no row is ever more than two rounds stale
-    "c4_whitespace_collapse", "c5_subsup_latex", "c7_initials_collapse",
-    "c10_journal_section", "c11_date_waterfall", "c13_page_count",
-    "c14_doi_split", "c15_doctype_classify", "c16_language_names",
-    "f1_article_allowlist", "f6_language_filter", "a3_earliest_date",
-    "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
-    "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
-    "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
-    "w1_tumbling_window", "s13_json_extract",
-    "j2_affiliation_lookup", "s12_batch_feed", "p2_host_pressure",
-    # never gated (added round 4)
-    "x20_paragraph_dedup", "x21_gopher_rules", "x22_lsh_verified_pairs",
-]
-_GATE_TAIL = [
-    # green in CORRECTNESS_r03.json, zero code churn in round 4
+    # the r04 tail: last green row r03 (or r02 for the final three) — per
+    # the rotation policy no row may go two rounds stale, and the round-4
+    # hardening commits touched several of their modules after gating
     "x8_token_counts", "x7_langid", "x9_fingerprint",
     "q1_pricing_summary", "q3_order_revenue",
     "x10_connected_components", "x11_dedup_clusters",
@@ -2935,9 +2916,38 @@ _GATE_TAIL = [
     "x19_decontamination", "s3_missing_anti_join", "s4_zip_members",
     "s5_tar_members_xml", "s6_tar_members_pdf", "f2_harvest_worthy",
     "f4_open_access_split", "p6_retry_decay",
-    # r02-green, unchanged - bumped from the window by x20/x21/x22;
-    # rotate back next round
     "p5_robots_gate", "x1_exact_dedup", "j5_fetch_join",
+    # red in r04 (DuckDB HUGEINT vs int64 under the typed hash; oracles now
+    # CAST ... AS BIGINT) — must prove green
+    "x14_repetition", "x20_paragraph_dedup",
+    # never gated: golden-byte parity vs the reference's own fixtures
+    "f5x_arxiv_golden",
+    # result types aligned to bigint this round (p1/p4/x5/x5b/x21) or their
+    # operator modules changed (frontier.py robots='auto' raw bytes +
+    # distinct-url budgets, politeness.py shard-cap rotation)
+    "p1_politeness_wave", "p4_crawl_order", "x5_cosine_topk", "x5b_ivf_topk",
+    "x21_gopher_rules", "p2_host_pressure",
+    "d1c_crawl_once_cuckoo", "d1d_crawl_once_cuckoo_delete", "d1e_merge_upsert",
+    # ppm-integer family canaries: three rounds of oracle-representation
+    # bugs landed here; re-prove under the type-checked local gate
+    "x2_ngram_jaccard", "x2b_ngram_jaccard_capped", "x6_embedding_neardup",
+    "x13_pagerank", "x15_ngram_repetition",
+]
+_GATE_TAIL = [
+    # green in CORRECTNESS_r04.json, zero code churn since (the f5*
+    # predictive oracles are additionally backed by the in-window f5x
+    # golden gate and the 100+ fixture pytest oracles)
+    "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
+    "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",
+    "c4_whitespace_collapse", "c5_subsup_latex", "c7_initials_collapse",
+    "c10_journal_section", "c11_date_waterfall", "c13_page_count",
+    "c14_doi_split", "c15_doctype_classify", "c16_language_names",
+    "f1_article_allowlist", "f6_language_filter", "a3_earliest_date",
+    "a5_year_ranges", "a6_page_count_arith", "u2_union_distinct",
+    "c2_host_basename", "c1_canonicalize", "d2_identifier_dedup",
+    "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
+    "w1_tumbling_window", "s13_json_extract",
+    "j2_affiliation_lookup", "s12_batch_feed", "x22_lsh_verified_pairs",
 ]
 
 
