@@ -73,20 +73,26 @@ class CrawlConfig:
     salt: int = 4                    # hot-host salting factor (salt_mode=
                                      # 'static': uniform for every host;
                                      # 'adaptive': the base for cold hosts)
-    salt_mode: str = "adaptive"      # DEFAULT since round 5: recompute
-                                     # PER-HOST salt factors every iteration
-                                     # from the live frontier's skew
-                                     # (adaptive_host_salt: hot host shards
-                                     # ~ pending count / (k x median)) —
-                                     # SURVEY §7(e), the arxiv.org hotspot.
-                                     # One extra tiny groupBy(host) agg per
-                                     # wave, joined broadcast; measured >=
-                                     # static on the default bench at every
-                                     # trial (steady +12% best-of-2) and
-                                     # cold hosts fall back to the uniform
-                                     # `salt` base so small crawls are
-                                     # unaffected. 'static' restores the
-                                     # pre-r5 byte-exact behavior.
+    salt_mode: str = "static"        # 'adaptive' recomputes PER-HOST salt
+                                     # factors every iteration from the live
+                                     # frontier's skew (adaptive_host_salt:
+                                     # hot host shards ~ pending count /
+                                     # (k x median)) — SURVEY §7(e), the
+                                     # arxiv.org hotspot. Round-5 default
+                                     # evaluation (BENCH/BASELINE.md): on
+                                     # the 50k-page bench corpus adaptive
+                                     # beat static (+12% steady, best-of-2)
+                                     # but at the 2.4M-page scaling corpus
+                                     # it cost 25% at local[8] (44.2k ->
+                                     # 33.0k URLs/s, pinned A/B) — the
+                                     # per-wave pressure aggregation +
+                                     # broadcast sit on the critical path.
+                                     # Default stays 'static'; turn on
+                                     # adaptive when a single host's
+                                     # pending set dwarfs k x median by
+                                     # orders of magnitude (the regime the
+                                     # politeness window, not the agg,
+                                     # dominates).
     adaptive_salt_k: int = 8         # hot threshold: pending > k x median
     adaptive_max_salt: int = 256     # per-host shard cap in adaptive mode
     filter_mode: str = "auto"        # 'auto' (the DEFAULT: bloom under
