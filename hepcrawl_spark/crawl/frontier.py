@@ -73,28 +73,33 @@ class CrawlConfig:
     salt: int = 4                    # hot-host salting factor (salt_mode=
                                      # 'static': uniform for every host;
                                      # 'adaptive': the base for cold hosts)
-    salt_mode: str = "static"        # 'adaptive' recomputes PER-HOST salt
-                                     # factors every iteration from the live
+    salt_mode: str = "adaptive"      # DEFAULT since round 5: per-host salt
+                                     # factors recomputed from the live
                                      # frontier's skew (adaptive_host_salt:
                                      # hot host shards ~ pending count /
                                      # (k x median)) — SURVEY §7(e), the
-                                     # arxiv.org hotspot. Round-5 default
-                                     # evaluation (BENCH/BASELINE.md): on
-                                     # the 50k-page bench corpus adaptive
-                                     # beat static (+12% steady, best-of-2)
-                                     # but at the 2.4M-page scaling corpus
-                                     # it cost 25% at local[8] (44.2k ->
-                                     # 33.0k URLs/s, pinned A/B) — the
-                                     # per-wave pressure aggregation +
-                                     # broadcast sit on the critical path.
-                                     # Default stays 'static'; turn on
-                                     # adaptive when a single host's
-                                     # pending set dwarfs k x median by
-                                     # orders of magnitude (the regime the
-                                     # politeness window, not the agg,
-                                     # dominates).
+                                     # arxiv.org hotspot. The round-5 cost
+                                     # story (BENCH/BASELINE.md): leaving
+                                     # the pressure aggregation as a
+                                     # subplan re-executed it inside every
+                                     # job touching the wave (-25% at the
+                                     # 2.4M-page corpus, pinned A/B); the
+                                     # loop now COLLECTS the tiny hot-host
+                                     # set once per refresh and joins a
+                                     # literal — re-measured par with
+                                     # static at 2.4M (44.4k vs 44.2k
+                                     # URLs/s), +12% steady on the skewed
+                                     # bench corpus, and literally zero
+                                     # extra work when no host is hot.
+                                     # 'static' restores uniform salting.
     adaptive_salt_k: int = 8         # hot threshold: pending > k x median
     adaptive_max_salt: int = 256     # per-host shard cap in adaptive mode
+    adaptive_salt_every: int = 1     # recompute the per-host factors every
+                                     # K-th iteration (skew drifts slowly;
+                                     # the pressure agg is the main
+                                     # adaptive cost, so K=2-3 halves it
+                                     # while staying within one wave of
+                                     # the true skew)
     filter_mode: str = "auto"        # 'auto' (the DEFAULT: bloom under
                                      # auto_filter_threshold expected urls,
                                      # bloom_table above — a deployment
@@ -678,6 +683,7 @@ def run_crawl(
     result = CrawlResult()
     metrics_rows = []
     seen_size = resumed_seen_size
+    salts_rows: list | None = None  # adaptive-salt cache across iterations
 
     for it in range(start_iter, cfg.max_iterations):
         t0 = time.monotonic()
@@ -686,15 +692,31 @@ def run_crawl(
         # what later retires rows from the frontier — robots-disallowed URLs
         # must be removed too, or they are re-selected every iteration and
         # permanently starve allowed same-host URLs below the politeness cap.
-        host_salts = (
-            adaptive_host_salt(
-                frontier,
-                k_times_median=cfg.adaptive_salt_k,
-                max_salt=cfg.adaptive_max_salt,
-            )
-            if cfg.salt_mode == "adaptive"
-            else None
-        )
+        host_salts = None
+        if cfg.salt_mode == "adaptive":
+            # the hot-host set is tiny (hosts above k x median only):
+            # COLLECT it once and rebuild a literal DataFrame — leaving the
+            # aggregation as a subplan re-executes the full-frontier
+            # groupBy inside every job that touches the wave (measured
+            # 2.4 s/wave on an 800k-row frontier). Refreshed every
+            # `adaptive_salt_every`-th iteration; skew drifts slowly, and
+            # a corpus with NO hot host skips the broadcast join entirely
+            # (identical to the static path at zero extra cost).
+            if salts_rows is None or (
+                (it - start_iter) % max(1, cfg.adaptive_salt_every) == 0
+            ):
+                salts_rows = [
+                    (r["host"], r["salt"])
+                    for r in adaptive_host_salt(
+                        frontier,
+                        k_times_median=cfg.adaptive_salt_k,
+                        max_salt=cfg.adaptive_max_salt,
+                    ).collect()
+                ]
+            if salts_rows:
+                host_salts = spark.createDataFrame(
+                    salts_rows, "host string, salt int"
+                )
         fetch_caps = None
         eff_cap = cfg.max_per_host
         if cfg.host_budget is not None:
