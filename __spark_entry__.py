@@ -2888,6 +2888,150 @@ def f5x_arxiv_golden(spark, sf):
     ).orderBy("url", "arxiv_eprint")
 
 
+def _golden_oracle(source: str, cols: list[tuple[str, str]]) -> str:
+    """VALUES oracle over fixtures/{source}_golden_expected.json — constants
+    from the reference's *_expected.yml files only."""
+    import json as _json
+    import os as _os
+
+    exp = _json.load(
+        open(_os.path.join(_FIXDIR, f"{source}_golden_expected.json"))
+    )
+
+    def lit(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if typ == "BIGINT":
+            return f"CAST({v} AS BIGINT)"
+        s = str(v).replace("'", "''")
+        return f"CAST('{s}' AS VARCHAR)"
+
+    rows = ",\n      ".join(
+        "(" + ", ".join(lit(r[c], t) for c, t in cols) + ")" for r in exp
+    )
+    names = ", ".join(c for c, _ in cols)
+    return (
+        f"SELECT * FROM (VALUES\n      {rows}\n    ) AS t({names})\n"
+        "    ORDER BY url"
+    )
+
+
+def _golden_masked(recs, source: str, fields):
+    """Select url + each field, masked to NULL for fixtures whose expected
+    yml omits the field — the reference tests' own `if key in exp`
+    discipline ('' and missing both collapse to NULL on both sides)."""
+    import json as _json
+    import os as _os
+
+    exp = _json.load(
+        open(_os.path.join(_FIXDIR, f"{source}_golden_expected.json"))
+    )
+    sel = ["url"]
+    for name, col in fields:
+        with_value = [r["url"] for r in exp if r[name] is not None]
+        sel.append(F.when(F.col("url").isin(with_value), col).alias(name))
+    return recs.select(*sel).orderBy("url")
+
+
+_ELS_GOLD_COLS = [
+    ("url", "VARCHAR"), ("title_md5", "VARCHAR"), ("abstract_md5", "VARCHAR"),
+    ("document_type", "VARCHAR"), ("article_type", "VARCHAR"),
+    ("journal_title", "VARCHAR"), ("publication_date", "VARCHAR"),
+    ("year_str", "VARCHAR"), ("doi", "VARCHAR"), ("n_authors", "BIGINT"),
+    ("authors_md5", "VARCHAR"), ("collabs", "VARCHAR"),
+]
+
+
+@_q("f5y_elsevier_golden", _golden_oracle("elsevier", _ELS_GOLD_COLS))
+def f5y_elsevier_golden(spark, sf):
+    """Golden-byte parity vs the reference's own Elsevier fixtures: parses
+    the staged CONSYN XML bodies (9 cases) through the live pandas-UDF path
+    and gates scalarized fields against constants from *_expected.yml."""
+    import os as _os
+
+    from hepcrawl_spark.parsers.elsevier import parse_elsevier_pages
+
+    pages = spark.read.parquet(
+        _os.path.join(_FIXDIR, "elsevier_golden_pages.parquet")
+    )
+    recs = parse_elsevier_pages(pages)
+    mdz = lambda c: F.md5(F.encode(F.nullif(F.col(c), F.lit("")), "UTF-8"))
+    return _golden_masked(
+        recs, "elsevier",
+        [
+            ("title_md5", mdz("title")),
+            ("abstract_md5", mdz("abstract")),
+            ("document_type", F.nullif(F.col("document_type"), F.lit(""))),
+            ("article_type", F.nullif(F.col("article_type"), F.lit(""))),
+            ("journal_title", F.nullif(F.col("journal_title"), F.lit(""))),
+            ("publication_date", F.nullif(F.col("publication_date"), F.lit(""))),
+            ("year_str", F.col("year").cast("string")),
+            ("doi", F.element_at("dois", 1)),
+            ("n_authors", F.size("authors").cast("long")),
+            (
+                "authors_md5",
+                F.md5(
+                    F.encode(
+                        F.concat_ws("|", F.col("authors.full_name")), "UTF-8"
+                    )
+                ),
+            ),
+            ("collabs", F.concat_ws(",", "collaborations")),
+        ],
+    )
+
+
+_CR_GOLD_COLS = [
+    ("url", "VARCHAR"), ("doi", "VARCHAR"), ("material", "VARCHAR"),
+    ("title_md5", "VARCHAR"), ("document_type", "VARCHAR"),
+    ("journal_title", "VARCHAR"), ("journal_volume", "VARCHAR"),
+    ("journal_issue", "VARCHAR"), ("year_str", "VARCHAR"),
+    ("page_start", "VARCHAR"), ("page_end", "VARCHAR"),
+    ("imprint_date", "VARCHAR"), ("n_authors", "BIGINT"),
+    ("authors_md5", "VARCHAR"), ("licenses", "VARCHAR"),
+]
+
+
+@_q("f5z_crossref_golden", _golden_oracle("crossref", _CR_GOLD_COLS))
+def f5z_crossref_golden(spark, sf):
+    """Golden-byte parity vs the reference's own Crossref fixtures (5
+    cases, *_expected.yml constants) through the live pandas-UDF path."""
+    import os as _os
+
+    from hepcrawl_spark.parsers.crossref import parse_crossref_pages
+
+    pages = spark.read.parquet(
+        _os.path.join(_FIXDIR, "crossref_golden_pages.parquet")
+    )
+    recs = parse_crossref_pages(pages)
+    return _golden_masked(
+        recs, "crossref",
+        [
+            ("doi", F.nullif(F.col("doi"), F.lit(""))),
+            ("material", F.nullif(F.col("material"), F.lit(""))),
+            ("title_md5", F.md5(F.encode(F.nullif(F.col("title"), F.lit("")), "UTF-8"))),
+            ("document_type", F.nullif(F.col("document_type"), F.lit(""))),
+            ("journal_title", F.nullif(F.col("journal_title"), F.lit(""))),
+            ("journal_volume", F.nullif(F.col("journal_volume"), F.lit(""))),
+            ("journal_issue", F.nullif(F.col("journal_issue"), F.lit(""))),
+            ("year_str", F.col("year").cast("string")),
+            ("page_start", F.nullif(F.col("page_start"), F.lit(""))),
+            ("page_end", F.nullif(F.col("page_end"), F.lit(""))),
+            ("imprint_date", F.nullif(F.col("imprint_date"), F.lit(""))),
+            ("n_authors", F.size("authors").cast("long")),
+            (
+                "authors_md5",
+                F.md5(
+                    F.encode(
+                        F.concat_ws("|", F.col("authors.full_name")), "UTF-8"
+                    )
+                ),
+            ),
+            ("licenses", F.concat_ws(",", "license_urls")),
+        ],
+    )
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed
@@ -2921,7 +3065,7 @@ _GATE_HEAD = [
     # CAST ... AS BIGINT) — must prove green
     "x14_repetition", "x20_paragraph_dedup",
     # never gated: golden-byte parity vs the reference's own fixtures
-    "f5x_arxiv_golden",
+    "f5x_arxiv_golden", "f5y_elsevier_golden", "f5z_crossref_golden",
     # result types aligned to bigint this round (p1/p4/x5/x5b/x21) or their
     # operator modules changed (frontier.py robots='auto' raw bytes +
     # distinct-url budgets, politeness.py shard-cap rotation)
@@ -2931,7 +3075,6 @@ _GATE_HEAD = [
     # ppm-integer family canaries: three rounds of oracle-representation
     # bugs landed here; re-prove under the type-checked local gate
     "x2_ngram_jaccard", "x2b_ngram_jaccard_capped", "x6_embedding_neardup",
-    "x13_pagerank", "x15_ngram_repetition",
 ]
 _GATE_TAIL = [
     # green in CORRECTNESS_r04.json, zero code churn since (the f5*
@@ -2948,6 +3091,7 @@ _GATE_TAIL = [
     "c18_value_dicts", "x4_simhash", "x3_minhash_signatures",
     "w1_tumbling_window", "s13_json_extract",
     "j2_affiliation_lookup", "s12_batch_feed", "x22_lsh_verified_pairs",
+    "x13_pagerank", "x15_ngram_repetition",
 ]
 
 

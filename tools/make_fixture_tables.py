@@ -140,3 +140,119 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# -- Elsevier + Crossref golden staging (round 5) -----------------------------
+# Same discipline as the arxiv staging above: fixture BODIES to parquet,
+# expected constants ONLY from the reference's *_expected.yml files
+# (tests/unit/responses/{elsevier,crossref}), with '' and missing fields
+# normalized to None exactly like the reference tests treat them.
+
+ELS_REF = "/root/reference/tests/unit/responses/elsevier"
+CR_REF = "/root/reference/tests/unit/responses/crossref"
+
+
+def _nz(v):
+    """'' and None collapse to None (the reference tests' `(x or None)`)."""
+    if v is None:
+        return None
+    s = str(v)
+    return s if s != "" else None
+
+
+def _mdz(v):
+    return _md5(str(v)) if _nz(v) is not None else None
+
+
+def stage_yaml_golden():
+    import glob
+
+    import yaml
+
+    out = {"elsevier": {"pages": [], "expected": []},
+           "crossref": {"pages": [], "expected": []}}
+
+    for case_path in sorted(glob.glob(f"{ELS_REF}/*_expected.yml")):
+        case = os.path.basename(case_path)[: -len("_expected.yml")]
+        exp = yaml.safe_load(open(case_path))
+        url = f"https://consyn.elsevier.com/golden/{case}"
+        out["elsevier"]["pages"].append(
+            (url, open(f"{ELS_REF}/{case}.xml", "rb").read())
+        )
+        authors = exp.get("authors")
+        out["elsevier"]["expected"].append(
+            {
+                "url": url,
+                "title_md5": _mdz(exp.get("title")),
+                "abstract_md5": _mdz(exp.get("abstract")),
+                "document_type": _nz(exp.get("document_type")),
+                "article_type": _nz(exp.get("article_type")),
+                "journal_title": _nz(exp.get("journal_title")),
+                "publication_date": _nz(exp.get("publication_date")),
+                "year_str": _nz(exp.get("year")),
+                "doi": _nz(exp["dois"][0]["doi"]) if exp.get("dois") else None,
+                "n_authors": len(authors) if authors is not None else None,
+                "authors_md5": _md5("|".join(a["full_name"] for a in authors))
+                if authors is not None
+                else None,
+                "collabs": ",".join(exp.get("collaborations") or [])
+                if "collaborations" in exp
+                else None,
+            }
+        )
+
+    for case_path in sorted(glob.glob(f"{CR_REF}/*_expected.yml")):
+        case = os.path.basename(case_path)[: -len("_expected.yml")]
+        exp = yaml.safe_load(open(case_path))
+        url = f"https://api.crossref.org/golden/{case}"
+        out["crossref"]["pages"].append(
+            (url, open(f"{CR_REF}/{case}.json", "rb").read())
+        )
+        authors = exp.get("authors")
+        lic = exp.get("license")
+        out["crossref"]["expected"].append(
+            {
+                "url": url,
+                "doi": _nz(exp["dois"][0]["doi"]) if exp.get("dois") else None,
+                "material": _nz(exp["dois"][0].get("material"))
+                if exp.get("dois")
+                else None,
+                "title_md5": _mdz(exp.get("title")),
+                "document_type": _nz(exp.get("document_type")),
+                "journal_title": _nz(exp.get("journal_title")),
+                "journal_volume": _nz(exp.get("journal_volume")),
+                "journal_issue": _nz(exp.get("journal_issue")),
+                "year_str": _nz(exp.get("year")),
+                "page_start": _nz(exp.get("page_start")),
+                "page_end": _nz(exp.get("page_end")),
+                "imprint_date": _nz(exp.get("imprints")),
+                "n_authors": len(authors) if authors is not None else None,
+                "authors_md5": _md5("|".join(a["full_name"] for a in authors))
+                if authors is not None
+                else None,
+                "licenses": ",".join(
+                    l["url"] for l in lic if l.get("url")
+                )
+                if lic is not None
+                else None,
+            }
+        )
+
+    from hepcrawl_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    for src in ("elsevier", "crossref"):
+        with open(f"{OUT}/{src}_golden_expected.json", "w") as f:
+            json.dump(out[src]["expected"], f, indent=1)
+        df = (
+            spark.createDataFrame(out[src]["pages"], "url string, html binary")
+            .withColumn(
+                "warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{OUT}/{src}_golden_pages.parquet"
+        )
+        print(f"staged {src}: {len(out[src]['expected'])} cases")
+    spark.stop()
