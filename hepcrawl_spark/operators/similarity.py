@@ -461,3 +461,37 @@ def synthesize_clustered_embeddings(
         _vec(F.col("id")).alias("embedding"),
         (F.col("id") % n_clusters).cast("int").alias("label"),
     )
+
+
+# -- IVF index persistence ----------------------------------------------------
+
+def ivf_write(built, index_dir: str) -> None:
+    """Persist an ``ivf_build`` result: the centroid matrix as a tiny
+    parquet (cell, centroid) table and the cell assignment as a parquet
+    table PARTITIONED BY cell — at scale each probe then reads only its
+    ``nprobe`` cell partitions (partition pruning), never the full index;
+    the layout maps 1:1 onto an Iceberg table partitioned by cell."""
+    C, assigned = built
+    spark = assigned.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cell int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        assigned.repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{index_dir}/cells")
+    )
+
+
+def ivf_read(spark, index_dir: str):
+    """Load a persisted IVF index back into the ``(centroids, assigned)``
+    shape ``ivf_topk_kmeans(built=...)`` consumes. The centroid matrix is
+    tiny (n_cells x dim); the assignment DataFrame is lazy — queries that
+    probe k cells scan only those partitions."""
+    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    assigned = spark.read.parquet(f"{index_dir}/cells")
+    return C, assigned

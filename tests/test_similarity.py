@@ -122,3 +122,27 @@ def test_ivf_meets_operating_point_on_clustered_corpus(spark):
     emb.unpersist()
     assert recall >= 0.9, recall
     assert scan <= 0.15, scan
+
+
+def test_ivf_index_roundtrips_through_parquet(spark, tmp_path):
+    """Deployment shape: build once, persist, reload, query — identical
+    top-k to the in-memory index, and the on-disk layout is partitioned by
+    cell so a probe scans only its nprobe partitions."""
+    import os
+
+    from hepcrawl_spark.operators import similarity as S
+
+    emb = S.synthesize_clustered_embeddings(spark, 800, n_clusters=20).persist()
+    q = emb.filter("vec_id < 8")
+    built = S.ivf_build(emb, n_cells=16, iterations=4)
+    idx = str(tmp_path / "ivf_index")
+    S.ivf_write(built, idx)
+    reloaded = S.ivf_read(spark, idx)
+    topk_mem, _ = S.ivf_topk_kmeans(emb, q, k=5, nprobe=4, built=built)
+    topk_disk, _ = S.ivf_topk_kmeans(emb, q, k=5, nprobe=4, built=reloaded)
+    mem = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in topk_mem.collect()}
+    disk = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in topk_disk.collect()}
+    assert mem == disk and len(mem) == 8 * 5
+    # cell-partitioned layout on disk (partition pruning at probe time)
+    assert any(d.startswith("cell=") for d in os.listdir(f"{idx}/cells"))
+    emb.unpersist()
