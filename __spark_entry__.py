@@ -2821,41 +2821,68 @@ _FIXDIR = __import__("os").path.join(
 )
 
 
-def _arxiv_golden_oracle() -> str:
+def _golden_expected(source: str) -> list[dict]:
     import json as _json
     import os as _os
 
-    exp = _json.load(
-        open(_os.path.join(_FIXDIR, "arxiv_golden_expected.json"))
+    return _json.load(
+        open(_os.path.join(_FIXDIR, f"{source}_golden_expected.json"))
     )
+
+
+def _golden_oracle(
+    source: str, cols: list[tuple[str, str]], order_by: str = "url"
+) -> str:
+    """VALUES oracle over fixtures/{source}_golden_expected.json — constants
+    from the reference's published expected outputs only."""
+    exp = _golden_expected(source)
 
     def lit(v, typ):
         if v is None:
             return f"CAST(NULL AS {typ})"
         if typ == "BIGINT":
             return f"CAST({v} AS BIGINT)"
+        if typ == "BOOLEAN":
+            return "true" if v else "false"
         s = str(v).replace("'", "''")
         return f"CAST('{s}' AS VARCHAR)"
 
-    cols = [
-        ("url", "VARCHAR"), ("arxiv_eprint", "VARCHAR"),
-        ("page_nr", "BIGINT"), ("document_type", "VARCHAR"),
-        ("n_authors", "BIGINT"), ("collabs", "VARCHAR"),
-        ("dois_str", "VARCHAR"), ("title_md5", "VARCHAR"),
-        ("abstract_md5", "VARCHAR"), ("authors_md5", "VARCHAR"),
-        ("preprint_date", "VARCHAR"), ("license_url", "VARCHAR"),
-    ]
     rows = ",\n      ".join(
         "(" + ", ".join(lit(r[c], t) for c, t in cols) + ")" for r in exp
     )
     names = ", ".join(c for c, _ in cols)
     return (
         f"SELECT * FROM (VALUES\n      {rows}\n    ) AS t({names})\n"
-        "    ORDER BY url, arxiv_eprint"
+        f"    ORDER BY {order_by}"
     )
 
 
-@_q("f5x_arxiv_golden", _arxiv_golden_oracle())
+def _golden_masked(recs, source: str, fields):
+    """Select url + each field, masked to NULL for fixtures whose expected
+    yml omits the field — the reference tests' own `if key in exp`
+    discipline ('' and missing both collapse to NULL on both sides)."""
+    exp = _golden_expected(source)
+    sel = ["url"]
+    for name, col in fields:
+        with_value = [r["url"] for r in exp if r[name] is not None]
+        sel.append(F.when(F.col("url").isin(with_value), col).alias(name))
+    return recs.select(*sel).orderBy("url")
+
+
+_ARX_GOLD_COLS = [
+    ("url", "VARCHAR"), ("arxiv_eprint", "VARCHAR"),
+    ("page_nr", "BIGINT"), ("document_type", "VARCHAR"),
+    ("n_authors", "BIGINT"), ("collabs", "VARCHAR"),
+    ("dois_str", "VARCHAR"), ("title_md5", "VARCHAR"),
+    ("abstract_md5", "VARCHAR"), ("authors_md5", "VARCHAR"),
+    ("preprint_date", "VARCHAR"), ("license_url", "VARCHAR"),
+]
+
+
+@_q(
+    "f5x_arxiv_golden",
+    _golden_oracle("arxiv", _ARX_GOLD_COLS, order_by="url, arxiv_eprint"),
+)
 def f5x_arxiv_golden(spark, sf):
     import os as _os
 
@@ -2886,51 +2913,6 @@ def f5x_arxiv_golden(spark, sf):
         F.when(r10, F.col("preprint_date")).alias("preprint_date"),
         F.when(r10, F.col("license_url")).alias("license_url"),
     ).orderBy("url", "arxiv_eprint")
-
-
-def _golden_oracle(source: str, cols: list[tuple[str, str]]) -> str:
-    """VALUES oracle over fixtures/{source}_golden_expected.json — constants
-    from the reference's *_expected.yml files only."""
-    import json as _json
-    import os as _os
-
-    exp = _json.load(
-        open(_os.path.join(_FIXDIR, f"{source}_golden_expected.json"))
-    )
-
-    def lit(v, typ):
-        if v is None:
-            return f"CAST(NULL AS {typ})"
-        if typ == "BIGINT":
-            return f"CAST({v} AS BIGINT)"
-        s = str(v).replace("'", "''")
-        return f"CAST('{s}' AS VARCHAR)"
-
-    rows = ",\n      ".join(
-        "(" + ", ".join(lit(r[c], t) for c, t in cols) + ")" for r in exp
-    )
-    names = ", ".join(c for c, _ in cols)
-    return (
-        f"SELECT * FROM (VALUES\n      {rows}\n    ) AS t({names})\n"
-        "    ORDER BY url"
-    )
-
-
-def _golden_masked(recs, source: str, fields):
-    """Select url + each field, masked to NULL for fixtures whose expected
-    yml omits the field — the reference tests' own `if key in exp`
-    discipline ('' and missing both collapse to NULL on both sides)."""
-    import json as _json
-    import os as _os
-
-    exp = _json.load(
-        open(_os.path.join(_FIXDIR, f"{source}_golden_expected.json"))
-    )
-    sel = ["url"]
-    for name, col in fields:
-        with_value = [r["url"] for r in exp if r[name] is not None]
-        sel.append(F.when(F.col("url").isin(with_value), col).alias(name))
-    return recs.select(*sel).orderBy("url")
 
 
 _ELS_GOLD_COLS = [
@@ -3032,6 +3014,170 @@ def f5z_crossref_golden(spark, sf):
     )
 
 
+_APS_GOLD_COLS = [
+    ("url", "VARCHAR"), ("title_md5", "VARCHAR"), ("abstract_md5", "VARCHAR"),
+    ("artid", "VARCHAR"), ("document_type", "VARCHAR"),
+    ("journal_title", "VARCHAR"), ("journal_volume", "VARCHAR"),
+    ("journal_issue", "VARCHAR"), ("year_str", "VARCHAR"),
+    ("imprint_date", "VARCHAR"), ("n_pages", "BIGINT"),
+    ("copyright_holder", "VARCHAR"), ("copyright_year_str", "VARCHAR"),
+    ("doi", "VARCHAR"), ("n_authors", "BIGINT"),
+    ("authors_md5", "VARCHAR"), ("affs_md5", "VARCHAR"),
+]
+
+# unit-separator joins for the author/affiliation digests — must match
+# tools/make_fixture_tables.py AFF_SEP/AUTHOR_SEP exactly
+_AFF_SEP = "\x1f"
+_AUTHOR_SEP = "\x1e"
+
+
+@_q("f5w_aps_golden", _golden_oracle("aps", _APS_GOLD_COLS))
+def f5w_aps_golden(spark, sf):
+    """Golden-byte parity vs the reference's own APS JATS fixtures (5
+    *_expected.yml cases, tests/unit/responses/aps) through the live
+    parse_jats_pages pandas-UDF path. Beyond the scalar fields this also
+    digests the per-author raw-affiliation lists (affs_md5), which the
+    elsevier/crossref gates don't cover."""
+    import os as _os
+
+    from hepcrawl_spark.parsers.jats import parse_jats_pages
+
+    pages = spark.read.parquet(
+        _os.path.join(_FIXDIR, "aps_golden_pages.parquet")
+    )
+    recs = parse_jats_pages(pages)
+    mdz = lambda c: F.md5(F.encode(F.nullif(c, F.lit("")), "UTF-8"))
+    return _golden_masked(
+        recs, "aps",
+        [
+            ("title_md5", mdz(F.col("title"))),
+            ("abstract_md5", mdz(F.col("abstract"))),
+            ("artid", F.nullif(F.col("artid"), F.lit(""))),
+            ("document_type", F.nullif(F.col("document_type"), F.lit(""))),
+            ("journal_title", F.nullif(F.col("journal_title"), F.lit(""))),
+            ("journal_volume", F.nullif(F.col("journal_volume"), F.lit(""))),
+            ("journal_issue", F.nullif(F.col("journal_issue"), F.lit(""))),
+            ("year_str", F.col("year").cast("string")),
+            ("imprint_date", F.nullif(F.col("imprint_date"), F.lit(""))),
+            ("n_pages", F.col("page_count").cast("long")),
+            (
+                "copyright_holder",
+                F.nullif(F.col("copyright_holder"), F.lit("")),
+            ),
+            ("copyright_year_str", F.col("copyright_year").cast("string")),
+            ("doi", F.element_at("dois", 1)),
+            ("n_authors", F.size("authors").cast("long")),
+            (
+                "authors_md5",
+                F.md5(
+                    F.encode(
+                        F.concat_ws(_AUTHOR_SEP, F.col("authors.full_name")),
+                        "UTF-8",
+                    )
+                ),
+            ),
+            (
+                "affs_md5",
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            _AUTHOR_SEP,
+                            F.transform(
+                                "authors",
+                                lambda a: F.concat_ws(
+                                    _AFF_SEP, a["affiliations"]
+                                ),
+                            ),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+            ),
+        ],
+    )
+
+
+_HW_GOLD_COLS = [
+    ("url", "VARCHAR"), ("title_md5", "VARCHAR"),
+    ("date_published", "VARCHAR"), ("source", "VARCHAR"),
+    ("identifier", "VARCHAR"), ("doi", "VARCHAR"), ("n_authors", "BIGINT"),
+    ("authors_md5", "VARCHAR"), ("surnames", "VARCHAR"),
+    ("aff1_match", "BOOLEAN"), ("aff2_match", "BOOLEAN"),
+    ("journal_title", "VARCHAR"), ("journal_year_str", "VARCHAR"),
+    ("journal_issue", "VARCHAR"), ("copyright_md5", "VARCHAR"),
+    ("copyright_year", "VARCHAR"), ("license", "VARCHAR"),
+    ("license_url", "VARCHAR"), ("pdf_url", "VARCHAR"),
+    ("xml_url", "VARCHAR"), ("splash_url", "VARCHAR"),
+]
+
+# the reference asserts affiliation MEMBERSHIP per author
+# (tests/unit/test_hindawi.py:48-67) — mirrored as array_contains booleans
+_HW_AFF1 = "Center for Theoretical Physics Polish Academy of Sciences"
+_HW_AFF2 = "The Andrzej Soltan Institute for Nuclear Studies"
+
+
+@_q("f5v_hindawi_golden", _golden_oracle("hindawi", _HW_GOLD_COLS))
+def f5v_hindawi_golden(spark, sf):
+    """Golden-byte parity vs the reference's own Hindawi MARCXML fixture
+    (tests/unit/responses/hindawi/test_1.xml) through the live
+    parse_marcxml_pages pandas-UDF path; expected constants mirrored from
+    the reference's test assertions (tests/unit/test_hindawi.py:36-147).
+    This puts the MARCXML parser family under golden driver coverage
+    alongside arxiv/JATS/Elsevier/Crossref."""
+    import os as _os
+
+    from hepcrawl_spark.parsers.marcxml import parse_marcxml_pages
+
+    pages = spark.read.parquet(
+        _os.path.join(_FIXDIR, "hindawi_golden_pages.parquet")
+    )
+    recs = parse_marcxml_pages(pages)
+    mdz = lambda c: F.md5(F.encode(F.nullif(c, F.lit("")), "UTF-8"))
+    return _golden_masked(
+        recs, "hindawi",
+        [
+            ("title_md5", mdz(F.col("title"))),
+            ("date_published", F.nullif(F.col("date_published"), F.lit(""))),
+            ("source", F.nullif(F.col("source"), F.lit(""))),
+            ("identifier", F.nullif(F.col("identifier"), F.lit(""))),
+            ("doi", F.element_at("dois", 1)),
+            ("n_authors", F.size("authors").cast("long")),
+            (
+                "authors_md5",
+                F.md5(
+                    F.encode(
+                        F.concat_ws(_AUTHOR_SEP, F.col("authors.full_name")),
+                        "UTF-8",
+                    )
+                ),
+            ),
+            ("surnames", F.concat_ws(",", F.col("authors.surname"))),
+            (
+                "aff1_match",
+                F.array_contains(
+                    F.col("authors")[0]["affiliations"], _HW_AFF1
+                ),
+            ),
+            (
+                "aff2_match",
+                F.array_contains(
+                    F.col("authors")[1]["affiliations"], _HW_AFF2
+                ),
+            ),
+            ("journal_title", F.nullif(F.col("journal_title"), F.lit(""))),
+            ("journal_year_str", F.col("journal_year").cast("string")),
+            ("journal_issue", F.nullif(F.col("journal_issue"), F.lit(""))),
+            ("copyright_md5", mdz(F.col("copyright_statement"))),
+            ("copyright_year", F.nullif(F.col("copyright_year"), F.lit(""))),
+            ("license", F.nullif(F.col("license"), F.lit(""))),
+            ("license_url", F.nullif(F.col("license_url"), F.lit(""))),
+            ("pdf_url", F.element_at("pdf_urls", 1)),
+            ("xml_url", F.element_at("xml_urls", 1)),
+            ("splash_url", F.element_at("splash_urls", 1)),
+        ],
+    )
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed
@@ -3041,10 +3187,11 @@ def f5z_crossref_golden(spark, sf):
 # tail (r02/r03-stale, three of whose modules — frontier/robots/dedup/warc/
 # merge_store — took round-4 hardening commits after their last gating) +
 # the two r04 red rows (x14/x20, oracle sums now CAST to BIGINT) + the
-# never-gated f5x golden + 9 queries whose result types were aligned this
-# round + d1c/d1d/d1e + p2 (frontier.py / politeness.py changed: robots
-# raw-bytes, shard-cap rotation, distinct-url budgets) + the 5-query ppm
-# family as regression canaries under the now-type-checked local gate = 50.
+# never-gated golden gates (f5x arxiv, f5y elsevier, f5z crossref, f5w aps)
+# + 9 queries whose result types were aligned this round + d1c/d1d/d1e +
+# p2 (frontier.py / politeness.py changed: robots raw-bytes, shard-cap
+# rotation, distinct-url budgets) + ppm-family regression canaries under
+# the now-type-checked local gate = 50.
 _GATE_HEAD = [
     # the r04 tail: last green row r03 (or r02 for the final three) — per
     # the rotation policy no row may go two rounds stale, and the round-4
@@ -3066,20 +3213,24 @@ _GATE_HEAD = [
     "x14_repetition", "x20_paragraph_dedup",
     # never gated: golden-byte parity vs the reference's own fixtures
     "f5x_arxiv_golden", "f5y_elsevier_golden", "f5z_crossref_golden",
+    "f5w_aps_golden", "f5v_hindawi_golden",
     # result types aligned to bigint this round (p1/p4/x5/x5b/x21) or their
     # operator modules changed (frontier.py robots='auto' raw bytes +
     # distinct-url budgets, politeness.py shard-cap rotation)
     "p1_politeness_wave", "p4_crawl_order", "x5_cosine_topk", "x5b_ivf_topk",
     "x21_gopher_rules", "p2_host_pressure",
     "d1c_crawl_once_cuckoo", "d1d_crawl_once_cuckoo_delete", "d1e_merge_upsert",
-    # ppm-integer family canaries: three rounds of oracle-representation
-    # bugs landed here; re-prove under the type-checked local gate
-    "x2_ngram_jaccard", "x2b_ngram_jaccard_capped", "x6_embedding_neardup",
+    # ppm-integer family canary: three rounds of oracle-representation
+    # bugs landed here; re-prove under the type-checked local gate (x2b and
+    # x6 — same module, green r04 zero-churn — yield their head slots to
+    # the new f5w/f5v golden gates and rotate back next round)
+    "x2_ngram_jaccard",
 ]
 _GATE_TAIL = [
     # green in CORRECTNESS_r04.json, zero code churn since (the f5*
     # predictive oracles are additionally backed by the in-window f5x
     # golden gate and the 100+ fixture pytest oracles)
+    "x2b_ngram_jaccard_capped", "x6_embedding_neardup",
     "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
     "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",
     "c4_whitespace_collapse", "c5_subsup_latex", "c7_initials_collapse",

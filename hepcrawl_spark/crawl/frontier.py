@@ -100,6 +100,16 @@ class CrawlConfig:
                                      # adaptive cost, so K=2-3 halves it
                                      # while staying within one wave of
                                      # the true skew)
+    adaptive_max_hot_hosts: int = 10_000  # bound on the collected hot-host
+                                     # set: a bimodal frontier can push
+                                     # O(n_hosts) rows over the k x median
+                                     # threshold, and the collect must
+                                     # stay O(bound), not O(hosts). The
+                                     # hottest hosts (largest salt) win
+                                     # the slots; hosts beyond the bound
+                                     # fall back to the uniform base salt
+                                     # — politeness caps still hold, they
+                                     # just shard coarser.
     filter_mode: str = "auto"        # 'auto' (the DEFAULT: bloom under
                                      # auto_filter_threshold expected urls,
                                      # bloom_table above — a deployment
@@ -396,14 +406,25 @@ def run_crawl(
                 body.alias("text"),
             )
         ).persist()  # one small row per rule per host; reused every wave
-        if robots.limit(1).count() == 0 and rpages.limit(1).count() > 0:
-            warnings.warn(
-                "robots='auto': the corpus has /robots.txt pages but zero "
-                "rules parsed from them — bodies are likely "
-                "whitespace-collapsed extractions; the crawl will obey no "
-                "robots rules",
-                stacklevel=2,
+        if robots.limit(1).count() == 0:
+            # warn only when a body LOOKS like robots.txt (carries a
+            # directive token) yet yields zero rules — a genuinely empty
+            # or comment-only robots.txt is valid allow-all and silent
+            directive_like = (
+                rpages.filter(
+                    F.lower(body).rlike("(user-agent|disallow|allow)\\s*:")
+                )
+                .limit(1)
+                .count()
             )
+            if directive_like > 0:
+                warnings.warn(
+                    "robots='auto': the corpus has /robots.txt pages whose "
+                    "bodies carry directives but zero rules parsed — bodies "
+                    "are likely whitespace-collapsed extractions; the crawl "
+                    "will obey no robots rules",
+                    stacklevel=2,
+                )
     # rules with Allow rows OR RFC 9309 special characters ('*' wildcards,
     # '$' end anchors) need the longest-match gate; the cheap prefix
     # anti-join only handles plain disallow prefixes. Checked once (the
@@ -683,7 +704,8 @@ def run_crawl(
     result = CrawlResult()
     metrics_rows = []
     seen_size = resumed_seen_size
-    salts_rows: list | None = None  # adaptive-salt cache across iterations
+    _UNSET = object()  # adaptive-salt cache sentinel ("not yet computed";
+    host_salts_df = _UNSET  # None is a valid cached value = no hot hosts)
 
     for it in range(start_iter, cfg.max_iterations):
         t0 = time.monotonic()
@@ -694,15 +716,16 @@ def run_crawl(
         # permanently starve allowed same-host URLs below the politeness cap.
         host_salts = None
         if cfg.salt_mode == "adaptive":
-            # the hot-host set is tiny (hosts above k x median only):
-            # COLLECT it once and rebuild a literal DataFrame — leaving the
-            # aggregation as a subplan re-executes the full-frontier
-            # groupBy inside every job that touches the wave (measured
-            # 2.4 s/wave on an 800k-row frontier). Refreshed every
-            # `adaptive_salt_every`-th iteration; skew drifts slowly, and
-            # a corpus with NO hot host skips the broadcast join entirely
+            # the hot-host set is small (hosts above k x median, capped at
+            # adaptive_max_hot_hosts, hottest first): COLLECT it once and
+            # build a literal DataFrame — leaving the aggregation as a
+            # subplan re-executes the full-frontier groupBy inside every
+            # job that touches the wave (measured 2.4 s/wave on an
+            # 800k-row frontier). The literal DataFrame itself is CACHED
+            # across iterations and only rebuilt on refresh. A corpus
+            # with NO hot host skips the broadcast join entirely
             # (identical to the static path at zero extra cost).
-            if salts_rows is None or (
+            if host_salts_df is _UNSET or (
                 (it - start_iter) % max(1, cfg.adaptive_salt_every) == 0
             ):
                 salts_rows = [
@@ -711,12 +734,17 @@ def run_crawl(
                         frontier,
                         k_times_median=cfg.adaptive_salt_k,
                         max_salt=cfg.adaptive_max_salt,
-                    ).collect()
+                    )
+                    .orderBy(F.col("salt").desc(), "host")
+                    .limit(cfg.adaptive_max_hot_hosts)
+                    .collect()
                 ]
-            if salts_rows:
-                host_salts = spark.createDataFrame(
-                    salts_rows, "host string, salt int"
+                host_salts_df = (
+                    spark.createDataFrame(salts_rows, "host string, salt int")
+                    if salts_rows
+                    else None
                 )
+            host_salts = host_salts_df
         fetch_caps = None
         eff_cap = cfg.max_per_host
         if cfg.host_budget is not None:

@@ -5,9 +5,13 @@ Arrow transfer) is real and tested. ``DECODERS`` holds REAL stdlib codecs
 for the formats parseable without media libraries — PNG (zlib IDAT + full
 filter reconstruction), PPM/PGM/BMP images (struct+numpy) and WAV audio
 (stdlib ``wave``) — and raises NotImplementedError into the error-row path
-for everything else (jpeg/mp3/mp4 need PIL/torchaudio/decord, absent in
-this container); a deployment extends the decoder bodies without touching
-the plan shape.
+for everything else (jpeg/mp3/mp4 PIXEL/SAMPLE decode needs
+PIL/torchaudio/decord, absent in this container); a deployment extends the
+decoder bodies without touching the plan shape. ``probe_media_metadata``
+goes further than the decoders: container-header parsing (dimensions for
+jpeg/png/gif/bmp/ppm, duration for wav/mp3/mp4) is stdlib-feasible for
+every supported format, so the schema-on-read metadata pass yields real
+typed rows even where the payload codec is environment-gated.
 
 Design rules for 100 TB of media:
 - binary payloads never enter a shuffle: all feature extraction is
@@ -495,6 +499,87 @@ def _probe_one(payload: bytes):
         head = re.sub(rb"#[^\n]*", b"", payload[2:300])  # strip comments
         toks = head.split()
         return "image/x-portable-pixmap", int(toks[0]), int(toks[1]), None
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        # MP3: skip an ID3v2 tag (syncsafe size), then parse the first
+        # MPEG audio frame header; CBR duration estimate from bitrate
+        i = 0
+        if payload[:3] == b"ID3":
+            if len(payload) < 10:
+                raise ValueError("mp3: truncated ID3v2 tag")
+            i = 10 + (
+                (payload[6] << 21)
+                | (payload[7] << 14)
+                | (payload[8] << 7)
+                | payload[9]
+            )
+        while i + 4 <= len(payload):
+            if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+                b1, b2 = payload[i + 1], payload[i + 2]
+                version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+                layer = (b1 >> 1) & 0x3  # 1=III, 2=II, 3=I
+                br_idx = (b2 >> 4) & 0xF
+                sr_idx = (b2 >> 2) & 0x3
+                if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+                    i += 1  # false sync; keep scanning
+                    continue
+                if layer != 1:  # bitrate tables below are Layer III only
+                    raise ValueError("mp3: only Layer III supported")
+                _BR_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                             160, 192, 224, 256, 320]
+                _BR_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                             96, 112, 128, 144, 160]
+                _SR = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+                       0: [11025, 12000, 8000]}
+                kbps = (_BR_V1_L3 if version == 3 else _BR_V2_L3)[br_idx]
+                rate = _SR[version][sr_idx]
+                if kbps == 0 or rate == 0:
+                    raise ValueError("mp3: free-format bitrate unsupported")
+                audio_bytes = len(payload) - i
+                return (
+                    "audio/mpeg", None, None,
+                    int(audio_bytes * 8 / (kbps * 1000) * 1000),
+                )
+            i += 1
+        raise ValueError("mp3: no frame sync found")
+    if payload[4:8] == b"ftyp":
+        # MP4/ISO-BMFF: walk top-level boxes to moov, then mvhd for
+        # timescale + duration (version 0 and 1 layouts)
+        def _walk(buf, start, end, name):
+            i = start
+            while i + 8 <= end:
+                sz = struct.unpack_from(">I", buf, i)[0]
+                typ = buf[i + 4 : i + 8]
+                hdr = 8
+                if sz == 1:
+                    sz = struct.unpack_from(">Q", buf, i + 8)[0]
+                    hdr = 16
+                elif sz == 0:
+                    sz = end - i
+                if typ == name:
+                    return i + hdr, i + sz
+                i += max(sz, 8)
+            return None, None
+
+        ms, me = _walk(payload, 0, len(payload), b"moov")
+        if ms is None:
+            raise ValueError("mp4: no moov box")
+        hs, _he = _walk(payload, ms, me, b"mvhd")
+        if hs is None:
+            raise ValueError("mp4: no mvhd box")
+        ver = payload[hs]
+        if ver == 1:
+            timescale = struct.unpack_from(">I", payload, hs + 4 + 16)[0]
+            duration = struct.unpack_from(">Q", payload, hs + 4 + 20)[0]
+        else:
+            timescale = struct.unpack_from(">I", payload, hs + 4 + 8)[0]
+            duration = struct.unpack_from(">I", payload, hs + 4 + 12)[0]
+        if not timescale:
+            raise ValueError("mp4: zero timescale")
+        return "video/mp4", None, None, int(duration * 1000 / timescale)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk chunks for fmt (rate, block align) + data size
         i, rate, align, data = 12, None, None, None
@@ -516,10 +601,11 @@ def _probe_one(payload: bytes):
 def probe_media_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Typed-metadata extraction from media container HEADERS (the schema-
     on-read step a 100-TB media lake runs before any decode): sniffed mime
-    + dimensions (jpeg/png/gif/bmp/ppm) or duration (wav) per row, errors
-    as rows. Header parsing needs only the first KB, no media libraries —
-    so jpeg/gif metadata is REAL here even though their pixel codecs are
-    environment-gated. Narrow mapInPandas; payload bytes never shuffle."""
+    + dimensions (jpeg/png/gif/bmp/ppm) or duration (wav/mp3/mp4) per row,
+    errors as rows. Header parsing needs only container structure, no media
+    libraries — so jpeg/gif/mp3/mp4 metadata is REAL here even though
+    their payload codecs are environment-gated. Narrow mapInPandas;
+    payload bytes never shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -59,7 +59,14 @@ def get_spark(
         # many-small-file commits (measured: the 4096-bucket merge-store
         # write spends most of its wall in job commit under v1). Real
         # deployments use v2 or manifest-based commits (Iceberg) that
-        # rename nothing at all.
+        # rename nothing at all. Tradeoff acknowledged: under v2 a job
+        # killed mid-write leaves its task-committed part-files visible in
+        # the destination. This engine's durability contract already
+        # requires readers to follow the MANIFEST (written last, after all
+        # data writes — frontier.py's per-iteration commit and
+        # merge_store's HEAD swap), so partial output of a failed write is
+        # never referenced; ad-hoc globbing of un-manifested directories
+        # is outside the contract.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -133,9 +133,37 @@ def test_probe_media_metadata(spark):
         (4, "image", None, bytearray(make_ppm(8, 6, 1)), None, None, None),
         (5, "audio", None, bytearray(make_wav(4000, 1, rate=8000)), None, None, None),
         (6, "video", None, bytearray(b"garbage"), None, None, None),
+        # MP3: ID3v2 tag (10-byte header, 0 payload) + one MPEG1 Layer III
+        # frame header @128kbps/44100 + 4000 bytes of "audio" -> 8*4004/128k
+        # seconds = ~250 ms
+        (
+            7, "audio", None,
+            bytearray(
+                b"ID3\x04\x00\x00\x00\x00\x00\x00"
+                + b"\xff\xfb\x90\x00" + b"\x00" * 4000
+            ),
+            None, None, None,
+        ),
+        # MP4: ftyp box + moov{mvhd v0: timescale=1000, duration=7500}
+        (
+            8, "video", None,
+            bytearray(
+                struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+                + struct.pack(">I", 116) + b"moov"
+                + struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+                + struct.pack(">II", 0, 0)      # ctime, mtime
+                + struct.pack(">II", 1000, 7500)  # timescale, duration
+                + b"\x00" * 80
+            ),
+            None, None, None,
+        ),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in probe_media_metadata(media).collect()}
+    assert got[7]["sniffed_mime"] == "audio/mpeg"
+    assert got[7]["duration_ms"] == int(4004 * 8 / 128_000 * 1000)
+    assert got[8]["sniffed_mime"] == "video/mp4"
+    assert got[8]["duration_ms"] == 7500
     assert (got[0]["sniffed_mime"], got[0]["width"], got[0]["height"]) == ("image/jpeg", 640, 480)
     assert (got[1]["sniffed_mime"], got[1]["width"], got[1]["height"]) == ("image/gif", 12, 34)
     assert (got[2]["width"], got[2]["height"]) == (6, 9)

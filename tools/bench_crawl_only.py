@@ -67,7 +67,9 @@ def main() -> None:
         row = {
             "repo": repo, "trial": t, "wall_s": round(wall, 2),
             "urls_per_sec": round(urls / wall, 1),
-            "urls_per_sec_steady": round(s_urls / s_wall, 1),
+            # a crawl that reaches fixpoint during iteration 0 has no
+            # steady-state window
+            "urls_per_sec_steady": round(s_urls / s_wall, 1) if s_wall else None,
         }
         print(json.dumps(row), flush=True)
         if best is None or row["urls_per_sec"] > best["urls_per_sec"]:

@@ -115,8 +115,6 @@ def main():
                 merge_store.merge_upsert(spark, f"{base}/merge", wave, key="url")
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
-            m = merge_store._read_manifest(f"{base}/merge")
-            # touched count from the delta's distinct buckets (recompute)
             touched = (
                 wave.select(
                     merge_store._bucket("url", buckets).alias("b")

@@ -138,10 +138,6 @@ def main():
     spark.stop()
 
 
-if __name__ == "__main__":
-    main()
-
-
 # -- Elsevier + Crossref golden staging (round 5) -----------------------------
 # Same discipline as the arxiv staging above: fixture BODIES to parquet,
 # expected constants ONLY from the reference's *_expected.yml files
@@ -150,6 +146,12 @@ if __name__ == "__main__":
 
 ELS_REF = "/root/reference/tests/unit/responses/elsevier"
 CR_REF = "/root/reference/tests/unit/responses/crossref"
+APS_REF = "/root/reference/tests/unit/responses/aps"
+
+# author-affiliation serialization for the authors/affs digests: units
+# separators so real text can't collide with the join
+AFF_SEP = "\x1f"   # between affiliations of one author
+AUTHOR_SEP = "\x1e"  # between authors
 
 
 def _nz(v):
@@ -170,7 +172,104 @@ def stage_yaml_golden():
     import yaml
 
     out = {"elsevier": {"pages": [], "expected": []},
-           "crossref": {"pages": [], "expected": []}}
+           "crossref": {"pages": [], "expected": []},
+           "aps": {"pages": [], "expected": []},
+           "hindawi": {"pages": [], "expected": []}}
+
+    # Hindawi MARCXML golden: one fixture record; the expected constants
+    # are mirrored VERBATIM from the reference's own test assertions
+    # (tests/unit/test_hindawi.py:36-147 — title, date, authors/surnames/
+    # affiliations, source, file/xml/splash urls, copyright, doi, journal,
+    # license), not from running this repo's parser.
+    hw_url = "https://www.hindawi.com/oai-pmh/golden/test_1"
+    out["hindawi"]["pages"].append(
+        (
+            hw_url,
+            open(
+                "/root/reference/tests/unit/responses/hindawi/test_1.xml",
+                "rb",
+            ).read(),
+        )
+    )
+    hw_authors = ["Małek, Katarzyna", "Batsch, Tadeusz"]
+    out["hindawi"]["expected"].append(
+        {
+            "url": hw_url,
+            "title_md5": _md5("“Pi of the Sky” Detector"),
+            "date_published": "2010-01-26",
+            "source": "Hindawi Publishing Corporation",
+            "identifier": "oai:hindawi.com:10.1155/2010/194946",
+            "doi": "10.1155/2010/194946",
+            "n_authors": len(hw_authors),
+            "authors_md5": _md5(AUTHOR_SEP.join(hw_authors)),
+            "surnames": "Małek,Batsch",
+            # the reference asserts per-author affiliation MEMBERSHIP
+            # (affiliations[i] in author[i].affiliations) — mirrored as
+            # boolean columns, not whole-list equality
+            "aff1_match": True,
+            "aff2_match": True,
+            "journal_title": "Advances in Astronomy",
+            "journal_year_str": "2010",
+            "journal_issue": "898351",
+            "copyright_md5": _md5(
+                "Copyright \xa9 2010 Katarzyna Małek et al."
+            ),
+            "copyright_year": "2010",
+            "license": "CC-BY-3.0",
+            "license_url": "http://creativecommons.org/licenses/by/3.0/",
+            "pdf_url": "http://downloads.hindawi.com/journals/aa/2010/194946.pdf",
+            "xml_url": "http://downloads.hindawi.com/journals/aa/2010/194946.xml",
+            "splash_url": "http://dx.doi.org/10.1155/2010/194946",
+        }
+    )
+
+    # APS JATS golden: 5 *_expected.yml cases parsed by the reference's
+    # jats parser (our parse_jats_pages path). Field mapping mirrors the
+    # reference test suite (tests/unit/test_aps.py style assertions, also
+    # mirrored in tests/test_parsers_aps.py::test_aps_jats_golden):
+    # number_of_pages -> page_count, publication_date -> imprint_date.
+    for case_path in sorted(glob.glob(f"{APS_REF}/*_expected.yml")):
+        case = os.path.basename(case_path)[: -len("_expected.yml")]
+        exp = yaml.safe_load(open(case_path))
+        url = f"https://harvest.aps.org/golden/{case}"
+        out["aps"]["pages"].append(
+            (url, open(f"{APS_REF}/{case}.xml", "rb").read())
+        )
+        authors = exp.get("authors")
+        out["aps"]["expected"].append(
+            {
+                "url": url,
+                "title_md5": _mdz(exp.get("title")),
+                "abstract_md5": _mdz(exp.get("abstract")),
+                "artid": _nz(exp.get("artid")),
+                "document_type": _nz(exp.get("document_type")),
+                "journal_title": _nz(exp.get("journal_title")),
+                "journal_volume": _nz(exp.get("journal_volume")),
+                "journal_issue": _nz(exp.get("journal_issue")),
+                "year_str": _nz(exp.get("year")),
+                "imprint_date": _nz(exp.get("publication_date")),
+                "n_pages": exp.get("number_of_pages"),
+                "copyright_holder": _nz(exp.get("copyright_holder")),
+                "copyright_year_str": _nz(exp.get("copyright_year")),
+                "doi": _nz(exp["dois"][0]["doi"]) if exp.get("dois") else None,
+                "n_authors": len(authors) if authors is not None else None,
+                "authors_md5": _md5(
+                    AUTHOR_SEP.join(a["full_name"] for a in authors)
+                )
+                if authors is not None
+                else None,
+                "affs_md5": _md5(
+                    AUTHOR_SEP.join(
+                        AFF_SEP.join(
+                            r["value"] for r in a.get("raw_affiliations", [])
+                        )
+                        for a in authors
+                    )
+                )
+                if authors is not None
+                else None,
+            }
+        )
 
     for case_path in sorted(glob.glob(f"{ELS_REF}/*_expected.yml")):
         case = os.path.basename(case_path)[: -len("_expected.yml")]
@@ -242,7 +341,7 @@ def stage_yaml_golden():
     from pyspark.sql import functions as F
 
     spark = get_spark(master="local[2]", shuffle_partitions=2)
-    for src in ("elsevier", "crossref"):
+    for src in ("elsevier", "crossref", "aps", "hindawi"):
         with open(f"{OUT}/{src}_golden_expected.json", "w") as f:
             json.dump(out[src]["expected"], f, indent=1)
         df = (
@@ -256,3 +355,8 @@ def stage_yaml_golden():
         )
         print(f"staged {src}: {len(out[src]['expected'])} cases")
     spark.stop()
+
+
+if __name__ == "__main__":
+    main()
+    stage_yaml_golden()
