@@ -1657,6 +1657,97 @@ def x22_lsh_verified_pairs(spark, sf):
     )
 
 
+# -- X23: exact substring dedup (Lee et al. 2022 suffix-array pass) -----------
+# Synthesized token streams: 10 unique prefix tokens + a 25-token block
+# shared by the doc_id%5 group (doubled for doc_id%7==0 docs, so the gate
+# covers BOTH cross-document and within-document repetition) + 5 unique
+# suffix tokens. W=20 grams: only grams fully inside a shared block repeat;
+# the smallest (doc, pos) occurrence owns, every other flagged position's
+# 20-token window is removed (interval union). The oracle replays
+# stride-1 gram hashing -> windowed (count, min-owner) -> coverage.
+_SSD_W = 20
+
+
+def _substring_dedup_oracle() -> str:
+    synth = """
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, 10), i -> 'u' || doc_id || '_' || i)
+               || list_transform(range(0, 25),
+                                 i -> 's' || (doc_id % 5) || '_' || i)
+               || CASE WHEN doc_id % 7 = 0
+                       THEN list_transform(range(0, 25),
+                                           i -> 's' || (doc_id % 5) || '_' || i)
+                       ELSE CAST([] AS VARCHAR[]) END
+               || list_transform(range(0, 5), i -> 'v' || doc_id || '_' || i),
+               ' ') AS text
+      FROM documents"""
+    W = _SSD_W
+    return f"""WITH t AS ({synth}
+    ), nt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS l,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS n
+      FROM t
+    ), grams AS (
+      SELECT nt.doc_id, u.p::BIGINT AS p,
+             ('0x' || substr(md5(array_to_string(l[u.p+1 : u.p+{W}], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM nt, LATERAL unnest(range(0, greatest(n - {W - 1}, 0))) AS u(p)
+    ), marked AS (
+      SELECT doc_id, p,
+             count(*) OVER (PARTITION BY gh) AS occ,
+             min(struct_pack(d := doc_id, p := p)) OVER (PARTITION BY gh) AS own
+      FROM grams
+    ), flagged AS (
+      SELECT doc_id, p FROM marked
+      WHERE occ > 1 AND NOT (doc_id = own.d AND p = own.p)
+    ), covered AS (
+      SELECT DISTINCT f.doc_id, u2.tk
+      FROM flagged f, LATERAL unnest(range(f.p, f.p + {W})) AS u2(tk)
+    ), s AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup_positions
+      FROM flagged GROUP BY doc_id
+    ), c AS (
+      SELECT doc_id, count(*)::BIGINT AS n_removed_tokens
+      FROM covered GROUP BY doc_id
+    )
+    SELECT nt.doc_id, nt.n AS n_tokens,
+           CAST(COALESCE(s.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(COALESCE(c.n_removed_tokens, 0) AS BIGINT) AS n_removed_tokens
+    FROM nt LEFT JOIN s USING(doc_id) LEFT JOIN c USING(doc_id)
+    ORDER BY doc_id"""
+
+
+@_q("x23_substring_dedup", _substring_dedup_oracle())
+def x23_substring_dedup(spark, sf):
+    from hepcrawl_spark.operators.dedup import substring_dedup
+
+    def tok_block(prefix: Column, n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.concat(prefix, F.lit("_"), i.cast("string")),
+        )
+
+    shared = tok_block(
+        F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string")), 25
+    )
+    parts = F.concat(
+        tok_block(F.concat(F.lit("u"), F.col("doc_id").cast("string")), 10),
+        F.when(F.col("doc_id") % 7 == 0, shared).otherwise(
+            F.array().cast("array<string>")
+        ),
+        shared,
+        tok_block(F.concat(F.lit("v"), F.col("doc_id").cast("string")), 5),
+    )
+    t = _docs(spark, sf).select(
+        "doc_id", F.concat_ws(" ", parts).alias("text")
+    )
+    return substring_dedup(t, window=_SSD_W).orderBy("doc_id")
+
+
 # -- X4: simhash fingerprints ----------------------------------------------------------------------------------
 _SH_BITS = 16
 

@@ -492,6 +492,130 @@ def paragraph_dedup(
     )
 
 
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    rebuild_text: bool = False,
+) -> DataFrame:
+    """Corpus-wide EXACT SUBSTRING dedup (the suffix-array pass of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed for Spark): any ``window``-token run that occurs more than
+    once in the ENTIRE corpus — across documents or repeated within one —
+    is kept only at its first occurrence (smallest (doc, position)); every
+    other occurrence's tokens are removed. Catches long verbatim overlap
+    that survives paragraph hashing (spans crossing paragraph boundaries)
+    and that MinHash only scores, never localizes.
+
+    Spark-first shape instead of a suffix array: hash EVERY position's
+    ``window``-token gram (stride 1 — this is the exact algorithm, not a
+    sampling approximation) with the portable md5 hash, then ONE shuffle,
+    keyed on the 8-byte gram hash, computes per-gram occurrence count and
+    first owner via window aggregates (no second join pass). Flagged
+    positions fold back per document; removed-token counts come from an
+    O(flagged) sorted interval-union fold (``F.aggregate``), never a
+    token-level explode. Gram rows ~= corpus token count — the same O(n)
+    a suffix array costs, but partitioned, combinable (map-side partial
+    min/count), and with only 8-byte keys + 12-byte positions in the
+    shuffle, never gram text.
+
+    Returns (id, n_tokens, n_dup_positions, n_removed_tokens[, text]) —
+    ``text`` (canonical single-space joins) only when ``rebuild_text``,
+    since reassembly is O(tokens x flagged-spans) per document.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens: {window}")
+    W = window
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("_toks"),
+    ).withColumn("_n", F.size("_toks").cast("long"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.col("_n") >= W,
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("_n") - W).cast("int")),
+                    lambda p: portable_hash64(
+                        F.concat_ws(" ", F.slice("_toks", p + 1, W))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "gh"),
+    )
+    w = Window.partitionBy("gh")
+    flagged = (
+        grams.withColumn("_occ", F.count("*").over(w))
+        .withColumn(
+            "_own",
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).over(w),
+        )
+        .filter(
+            (F.col("_occ") > 1)
+            & ~((F.col(id_col) == F.col("_own.d")) & (F.col("pos") == F.col("_own.p")))
+        )
+        .select(id_col, "pos")
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_fps"),
+        F.count("*").cast("long").alias("n_dup_positions"),
+    )
+    joined = toks.join(per_doc, id_col, "left")
+    removed = F.coalesce(
+        F.aggregate(
+            "_fps",
+            F.struct(
+                F.lit(0).cast("long").alias("cov"), F.lit(-1).cast("long").alias("end")
+            ),
+            lambda acc, p: F.struct(
+                (
+                    acc["cov"]
+                    + (p + W).cast("long")
+                    - F.greatest(p.cast("long"), acc["end"])
+                ).alias("cov"),
+                F.greatest(acc["end"], (p + W).cast("long")).alias("end"),
+            ),
+            lambda acc: acc["cov"],
+        ),
+        F.lit(0).cast("long"),
+    )
+    out = joined.select(
+        id_col,
+        F.col("_n").alias("n_tokens"),
+        F.coalesce("n_dup_positions", F.lit(0).cast("long")).alias("n_dup_positions"),
+        removed.alias("n_removed_tokens"),
+        "_toks",
+        "_fps",
+    )
+    if rebuild_text:
+        out = out.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.transform(
+                        "_toks",
+                        lambda t, i: F.when(
+                            F.coalesce(
+                                F.exists(
+                                    "_fps", lambda p: (p <= i) & (i < p + W)
+                                ),
+                                F.lit(False),
+                            ),
+                            F.lit(None),
+                        ).otherwise(t),
+                    ),
+                    lambda t: t.isNotNull(),
+                ),
+            ),
+        )
+    return out.drop("_toks", "_fps")
+
+
 def verify_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -381,3 +381,67 @@ def test_verify_jaccard_equals_exact_on_candidates(spark):
     }
     expected = {p: j for p, j in exact.items() if p in cand_set}
     assert ver == expected
+
+
+def test_substring_dedup_first_occurrence_wins(spark):
+    """Lee et al. 2022 exact substring pass (cf. the reference's record-at-
+    a-time dedup in middlewares.py, which has no substring analogue): every
+    duplicated W-token run is kept only at its smallest (doc, pos)."""
+    from hepcrawl_spark.operators.dedup import substring_dedup
+
+    words = lambda a, b: " ".join(f"w{i}" for i in range(a, b))
+    docs = spark.createDataFrame(
+        [
+            (1, words(0, 30)),                            # owns the shared run
+            (2, words(0, 22) + " " + words(100, 110)),    # shares tokens 0..21
+            (3, "unique " + words(200, 230)),             # no overlap
+            (4, "short doc"),                             # < W tokens
+            (5, words(300, 320) + " mid " + words(300, 320)),  # self-repeat
+            (6, "   "),                                   # whitespace-only
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, window=20, rebuild_text=True).collect()
+    }
+    # owner doc: nothing flagged, text unchanged
+    assert (out[1]["n_dup_positions"], out[1]["n_removed_tokens"]) == (0, 0)
+    assert out[1]["text"] == words(0, 30)
+    # 22 shared leading tokens -> gram starts 0..2 flagged, union covers 22
+    assert (out[2]["n_tokens"], out[2]["n_dup_positions"]) == (32, 3)
+    assert out[2]["n_removed_tokens"] == 22
+    assert out[2]["text"] == words(100, 110)
+    assert (out[3]["n_dup_positions"], out[3]["n_removed_tokens"]) == (0, 0)
+    assert (out[4]["n_tokens"], out[4]["n_removed_tokens"]) == (2, 0)
+    # within-doc self-repeat: second copy (exactly W tokens) removed
+    assert (out[5]["n_dup_positions"], out[5]["n_removed_tokens"]) == (1, 20)
+    assert out[5]["text"] == words(300, 320) + " mid"
+    # empty-token doc survives with zeros
+    assert (out[6]["n_tokens"], out[6]["n_removed_tokens"]) == (0, 0)
+
+
+def test_substring_dedup_overlapping_span_union(spark):
+    """Overlapping flagged windows must count union coverage, not W x flags."""
+    from hepcrawl_spark.operators.dedup import substring_dedup
+
+    run = " ".join(f"r{i}" for i in range(28))  # 28-token shared run
+    pad = lambda tag: " ".join(f"{tag}{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, run + " " + pad("a")), (2, pad("b") + " " + run)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in substring_dedup(docs, window=20).collect()
+    }
+    # doc 2's run spans positions 12..39; grams fully inside start at
+    # 12..20 (9 flags); union coverage = 28 tokens, NOT 9*20
+    assert (out[1]["n_dup_positions"], out[1]["n_removed_tokens"]) == (0, 0)
+    assert (out[2]["n_dup_positions"], out[2]["n_removed_tokens"]) == (9, 28)
+
+
+def test_substring_dedup_rejects_degenerate_window(spark):
+    from hepcrawl_spark.operators.dedup import substring_dedup
+
+    with pytest.raises(ValueError):
+        substring_dedup(spark.range(1).withColumn("text", F.lit("x")), window=1)
