@@ -138,6 +138,34 @@ def main() -> None:
         lambda: D.minhash_lsh_candidates(docs_big, num_hashes=8, bands=4).count(),
     )
     timed("exact_dedup", lambda: D.exact_dedup(docs_big).count())
+    # exact substring dedup: stride-1 gram rows ~= corpus token count, one
+    # shuffle on the 8-byte gram hash (the suffix-array-pass equivalent).
+    # A 30-token per-host boilerplate footer is appended so the pass has
+    # the repetition it exists to remove (site footers/banners) — the raw
+    # link-soup corpus has no verbatim 20-token repeats and would bench a
+    # no-op
+    docs_boiler = corpus.select(
+        F.col("page_id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda i: F.concat(F.col("host"), F.lit("_b"), i.cast("string")),
+                ),
+            ),
+        ).alias("text"),
+    )
+    extras["substring_removed_tokens"] = timed(
+        "substring_dedup",
+        lambda: int(
+            D.substring_dedup(docs_boiler, window=20)
+            .agg(F.sum("n_removed_tokens"))
+            .collect()[0][0]
+        ),
+    )
 
     # full near-dup chain: LSH pairs -> connected components (large-star/
     # small-star) -> one canonical survivor per component
