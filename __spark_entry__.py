@@ -1748,6 +1748,114 @@ def x23_substring_dedup(spark, sf):
     return substring_dedup(t, window=_SSD_W).orderBy("doc_id")
 
 
+# -- X24/X25: DSIR importance weighting + Gumbel top-k resampling -------------
+# Xie et al. 2023: fit hashed-ngram count models over a target domain (p)
+# and the raw pool (q); weight every raw doc by sum over its unigram+bigram
+# occurrences of log p(bucket) - log q(bucket) (add-1 smoothing); resample
+# without replacement with probability ∝ w via Gumbel top-k. The oracle
+# refits both models in SQL (same md5 bucket hash, same smoothing
+# arithmetic — int-exact inputs, so the doubles agree to the bit) and
+# rounds log-weights to milli-units, coarse enough to absorb the ~1-ulp
+# sum-order difference between Spark's per-doc fold and DuckDB's sum().
+_DSIR_B = 512
+_DSIR_TGT = ("src0", "src1", "src2")
+_DSIR_K = 64
+
+
+def _dsir_score_cte() -> str:
+    tgt = "source IN ('src0', 'src1', 'src2')"
+    return f"""toks AS (
+      SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source, u.g AS gram FROM toks, LATERAL unnest(t) AS u(g)
+      UNION ALL
+      SELECT doc_id, source, t[i.i] || ' ' || t[i.i+1] AS gram
+      FROM toks, LATERAL unnest(range(1, len(t))) AS i(i)
+    ), bkt AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(gram), 1, 7))::BIGINT) % {_DSIR_B} AS bucket
+      FROM grams
+    ), tc AS (
+      SELECT bucket, count(*)::BIGINT AS c FROM bkt WHERE {tgt} GROUP BY 1
+    ), rc AS (
+      SELECT bucket, count(*)::BIGINT AS c FROM bkt WHERE NOT {tgt} GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT COALESCE(sum(c), 0)::BIGINT FROM tc) AS tt,
+             (SELECT COALESCE(sum(c), 0)::BIGINT FROM rc) AS rt
+    ), ratio AS (
+      SELECT b.bucket,
+             ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + {_DSIR_B})) -
+             ln((COALESCE(rc.c, 0) + 1.0) / (tot.rt + {_DSIR_B})) AS lr
+      FROM (SELECT DISTINCT bucket FROM bkt) b
+      LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot
+    ), score AS (
+      SELECT doc_id, sum(lr) AS logw
+      FROM bkt JOIN ratio USING (bucket)
+      WHERE NOT {tgt}
+      GROUP BY 1
+    )"""
+
+
+def _dsir_split(spark, sf):
+    docs = _docs(spark, sf)
+    tgt = docs.filter(F.col("source").isin(*_DSIR_TGT))
+    raw = docs.filter(~F.col("source").isin(*_DSIR_TGT))
+    return tgt, raw
+
+
+@_q(
+    "x24_dsir_weights",
+    f"""WITH {_dsir_score_cte()}
+    SELECT doc_id, CAST(round(logw * 1000) AS BIGINT) AS logw_milli
+    FROM score ORDER BY doc_id""",
+)
+def x24_dsir_weights(spark, sf):
+    from hepcrawl_spark.operators import dsir
+
+    tgt, raw = _dsir_split(spark, sf)
+    lr = dsir.dsir_logratio(tgt, raw, num_buckets=_DSIR_B)
+    return (
+        dsir.dsir_score(raw, lr)
+        .select(
+            "doc_id",
+            F.round(F.col("logw") * 1000).cast("long").alias("logw_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "x25_dsir_sample",
+    f"""WITH {_dsir_score_cte()},
+    keyed AS (
+      SELECT doc_id, logw,
+             logw - ln(-ln(
+               ((('0x' || substr(md5(doc_id::VARCHAR || 'dsir1'), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0)
+             )) AS k
+      FROM score
+    ), picked AS (
+      SELECT doc_id, logw FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_K}
+    )
+    SELECT doc_id, CAST(round(logw * 1000) AS BIGINT) AS logw_milli
+    FROM picked ORDER BY doc_id""",
+)
+def x25_dsir_sample(spark, sf):
+    from hepcrawl_spark.operators import dsir
+
+    tgt, raw = _dsir_split(spark, sf)
+    lr = dsir.dsir_logratio(tgt, raw, num_buckets=_DSIR_B)
+    scored = dsir.dsir_score(raw, lr)
+    return (
+        dsir.dsir_sample(scored, _DSIR_K, seed="dsir1")
+        .select(
+            "doc_id",
+            F.round(F.col("logw") * 1000).cast("long").alias("logw_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -- X4: simhash fingerprints ----------------------------------------------------------------------------------
 _SH_BITS = 16
 
