@@ -198,6 +198,20 @@ def main() -> None:
         ),
     )
 
+    # DSIR end-to-end (fit both hashed-ngram models + narrow-fold scoring +
+    # Gumbel top-k) over the prose table: 3 of the 20 sources play the
+    # target domain, the rest are the raw pool
+    from hepcrawl_spark.operators import dsir as DS
+
+    dsir_tgt = prose.filter(F.col("source").isin("src0", "src1", "src2"))
+    dsir_raw = prose.filter(~F.col("source").isin("src0", "src1", "src2"))
+    extras["dsir_selected"] = timed(
+        "dsir_select",
+        lambda: DS.dsir_select(
+            dsir_tgt, dsir_raw, k=1000, num_buckets=4096
+        ).count(),
+    )
+
     qs = entry.queries()
     for name in ("q1_pricing_summary", "q3_order_revenue", "w1_tumbling_window",
                  "x5_cosine_topk", "p1_politeness_wave", "d1b_crawl_once_bloom"):
