@@ -2,10 +2,11 @@
 
 The Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
 Arrow transfer) is real and tested. ``DECODERS`` holds REAL stdlib codecs
-for the formats parseable without media libraries — PNG (zlib IDAT + full
-filter reconstruction), PPM/PGM/BMP images (struct+numpy) and WAV audio
-(stdlib ``wave``) — and raises NotImplementedError into the error-row path
-for everything else (jpeg/mp3/mp4 PIXEL/SAMPLE decode needs
+for the formats parseable without media libraries — baseline JPEG
+(Huffman + IDCT, ``operators/jpeg.py``), PNG (zlib IDAT + full filter
+reconstruction), PPM/PGM/BMP images (struct+numpy) and WAV audio (stdlib
+``wave``) — and raises NotImplementedError into the error-row path for
+everything else (progressive JPEG, mp3/mp4 SAMPLE decode need
 PIL/torchaudio/decord, absent in this container); a deployment extends the
 decoder bodies without touching the plan shape. ``probe_media_metadata``
 goes further than the decoders: container-header parsing (dimensions for
@@ -101,6 +102,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return arr.reshape(h, w, c)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"BM":
         import struct
 
@@ -119,7 +124,9 @@ def _decode_image(payload: bytes) -> np.ndarray:
         if flip:
             rows = rows[::-1]
         return rows[..., [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
-    raise NotImplementedError("image codec: only PNG/PPM/PGM/BMP without PIL")
+    raise NotImplementedError(
+        "image codec: only JPEG/PNG/PPM/PGM/BMP without PIL"
+    )
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
@@ -393,6 +400,28 @@ def make_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
     )
 
 
+def make_jpeg(
+    w: int, h: int, seed: int, gray: bool = False,
+    subsample: bool = False, restart_interval: int = 0,
+) -> bytes:
+    """Deterministic real baseline-JPEG bytes (seeded smooth gradient — a
+    JPEG-friendly signal so the lossy roundtrip stays within quantization
+    error). Flags select grayscale / 4:2:0 / DRI-restart variants."""
+    from .jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 80 * np.sin((xx + seed) / 7.0) * np.cos((yy + seed) / 9.0)
+    if gray:
+        img = base.clip(0, 255).astype(np.uint8)
+    else:
+        img = (
+            np.stack([base, np.roll(base, 3, 0), 255 - base], -1)
+            .clip(0, 255)
+            .astype(np.uint8)
+        )
+    return encode_jpeg(img, subsample=subsample, restart_interval=restart_interval)
+
+
 def make_wav(n_frames: int, seed: int, rate: int = 8000) -> bytes:
     """Deterministic real 16-bit mono WAV bytes (seeded sine-ish)."""
     import io
@@ -417,6 +446,10 @@ def synthesize_real_media(spark, n: int = 30) -> DataFrame:
         ("image", "image/x-portable-pixmap", lambda i: make_ppm(8 + i % 5, 6, i)),
         ("image", "image/bmp", lambda i: make_bmp(7 + i % 5, 5, i)),
         ("image", "image/png", lambda i: make_png(6 + i % 5, 9, i, color_type=(0, 2, 6)[i % 3])),
+        ("image", "image/jpeg", lambda i: make_jpeg(
+            16 + i % 9, 14, i, gray=i % 3 == 0, subsample=i % 3 == 1,
+            restart_interval=2 if i % 4 == 0 else 0,
+        )),
         ("audio", "audio/wav", lambda i: make_wav(64 + i, i)),
         ("video", "video/mp4", lambda i: b"\x00\x00\x00 ftypisom" + bytes([i % 256]) * 32),
     ]

@@ -63,11 +63,11 @@ def test_real_codec_end_to_end(spark):
     into the error path."""
     from hepcrawl_spark.operators.multimodal import synthesize_real_media
 
-    media = synthesize_real_media(spark, n=25)
+    media = synthesize_real_media(spark, n=30)
     feats = {r["media_id"]: r for r in extract_features(media, use_fake_decoder=False).collect()}
-    assert len(feats) == 25
+    assert len(feats) == 30
     for mid, r in feats.items():
-        if mid % 5 == 4:  # the fake-mp4 slot
+        if mid % 6 == 5:  # the fake-mp4 slot
             assert r["feature"] is None and "video codec" in r["error"]
         else:
             assert r["error"] is None, r["error"]
@@ -76,7 +76,7 @@ def test_real_codec_end_to_end(spark):
     # decode is deterministic across runs
     again = {
         r["media_id"]: r["feature"]
-        for r in extract_features(synthesize_real_media(spark, n=25), use_fake_decoder=False).collect()
+        for r in extract_features(synthesize_real_media(spark, n=30), use_fake_decoder=False).collect()
     }
     assert {m: r["feature"] for m, r in feats.items()} == again
 
@@ -202,3 +202,65 @@ def test_probe_real_jpeg_through_mapinpandas(spark):
     assert got["probe_error"] is None
     assert got["sniffed_mime"] == "image/jpeg"
     assert (got["width"], got["height"]) == (2, 2)
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG encode->decode stays within quantization error on a
+    smooth signal, across grayscale / 4:4:4 / 4:2:0 / restart-marker
+    variants and non-multiple-of-8 (and, subsampled, of 16) dimensions."""
+    import numpy as np
+
+    from hepcrawl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from hepcrawl_spark.operators.multimodal import make_jpeg
+
+    def smooth(h, w, c):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = 128 + 80 * np.sin(xx / 7.0) * np.cos(yy / 9.0)
+        if c == 3:
+            return (
+                np.stack([base, np.roll(base, 3, 0), 255 - base], -1)
+                .clip(0, 255)
+                .astype(np.uint8)
+            )
+        return base.clip(0, 255).astype(np.uint8)
+
+    cases = [
+        (16, 16, 1, False, 0), (24, 17, 1, False, 0),
+        (21, 19, 3, False, 0), (20, 18, 3, True, 0),
+        (48, 40, 1, False, 3), (48, 40, 3, True, 2),
+    ]
+    for h, w, c, sub, rst in cases:
+        img = smooth(h, w, c)
+        out = decode_jpeg(encode_jpeg(img, subsample=sub, restart_interval=rst))
+        src = img if c == 3 else img[..., None]
+        assert out.shape == src.shape
+        err = np.abs(out.astype(float) - src.astype(float))
+        # 4:2:0 averages chroma 2x2 -> looser bound on color variants
+        assert err.mean() < (8 if sub else 5), (h, w, c, sub, rst, err.mean())
+        assert err.max() < (64 if c == 3 else 16)
+
+    # the synth helper is deterministic (fixture stability)
+    assert make_jpeg(16, 14, 3) == make_jpeg(16, 14, 3)
+
+
+def test_jpeg_decodes_foreign_encoder_bytes():
+    """The decoder must handle JPEGs from OTHER encoders (standard Annex-K
+    Huffman tables, libjpeg quant tables) — the embedded IPython 2x2.jpg,
+    produced by a real libjpeg pipeline, not our own encoder."""
+    import base64
+
+    from hepcrawl_spark.operators.jpeg import decode_jpeg
+
+    real_jpeg = base64.b64decode(
+        "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+        "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAA"
+        "AQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQR"
+        "BRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RF"
+        "RkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ip"
+        "qrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEB"
+        "AAA/ACv/2Q=="
+    )
+    out = decode_jpeg(real_jpeg)
+    # 2x2, single-component scan in this file -> grayscale-shaped output
+    assert out.shape[0] == 2 and out.shape[1] == 2
+    assert out.dtype.name == "uint8"
