@@ -520,6 +520,69 @@ def s19_sitemap_scan(spark, sf):
     )
 
 
+# -- S20: Common Crawl CDX index scan -> frontier seeds -----------------------
+# CDXJ capture-index lines synthesized relationally (two captures for every
+# doc_id % 3 == 0 urlkey, 404s and pdfs sprinkled in), parsed back through
+# the real JVM regexp+from_json pipeline (sources/cdx.py), filtered to
+# fetchable captures and deduped to the newest capture per urlkey. The
+# oracle independently reconstructs the SURT key (host reversal, www strip,
+# path lowercase, query-param sort) and the filter+latest-capture winner.
+@_q(
+    "s20_cdx_seeds",
+    """SELECT url, host, urlkey, digest, ts FROM (
+      SELECT 'https://www.h' || (doc_id % 50) || '.example.org/P' || doc_id
+               || '?b=2&a=1' AS url,
+             'www.h' || (doc_id % 50) || '.example.org' AS host,
+             'org,example,h' || (doc_id % 50) || ')/p' || doc_id
+               || '?a=1&b=2' AS urlkey,
+             CASE WHEN doc_id % 3 = 0 THEN 'sha1:B' || doc_id
+                  ELSE 'sha1:A' || doc_id END AS digest,
+             CASE WHEN doc_id % 3 = 0 THEN '2024-03-22 00:00:00'
+                  ELSE '2024-01-01 00:00:00' END AS ts
+      FROM documents
+      WHERE doc_id % 3 = 0 OR (doc_id % 7 <> 0 AND doc_id % 5 <> 0)
+    ) ORDER BY urlkey""",
+)
+def s20_cdx_seeds(spark, sf):
+    from hepcrawl_spark.sources import cdx as CDX
+
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 50).cast("string")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://www.h"), k, F.lit(".example.org/P"), sid, F.lit("?b=2&a=1")
+    )
+    surt = CDX.surt_key(url)
+    status = F.when(F.col("doc_id") % 7 == 0, F.lit("404")).otherwise(F.lit("200"))
+    mime = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("application/pdf")
+    ).otherwise(F.lit("text/html"))
+    payload1 = F.concat(
+        F.lit('{"url": "'), url, F.lit('", "mime": "'), mime,
+        F.lit('", "status": "'), status,
+        F.lit('", "digest": "sha1:A'), sid,
+        F.lit('", "length": "100", "offset": "0", "filename": "w1.warc.gz"}'),
+    )
+    payload2 = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "200", "digest": "sha1:B'), sid,
+        F.lit('", "length": "120", "offset": "9", "filename": "w2.warc.gz"}'),
+    )
+    line1 = F.concat(surt, F.lit(" 20240101000000 "), payload1)
+    line2 = F.concat(surt, F.lit(" 20240322000000 "), payload2)
+    lines = d.select(
+        F.explode(
+            F.when(F.col("doc_id") % 3 == 0, F.array(line1, line2))
+            .otherwise(F.array(line1))
+        ).alias("line")
+    )
+    seeds = CDX.cdx_seeds(CDX.parse_cdxj(lines))
+    return seeds.select(
+        "url", "host", "urlkey", "digest",
+        F.date_format("discovered_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    ).orderBy("urlkey")
+
+
 # -- C23: html -> visible text (the html:binary -> text:string leg) -----------
 # Deterministic html synthesized from doc columns (md5 payloads keep the
 # markup unambiguous), extracted through the real HTMLParser state machine;
@@ -3385,12 +3448,12 @@ def f5v_hindawi_golden(spark, sf):
 # round with zero code churn since. Round-5 head = the full 33-query r04
 # tail (r02/r03-stale, three of whose modules — frontier/robots/dedup/warc/
 # merge_store — took round-4 hardening commits after their last gating) +
-# the two r04 red rows (x14/x20, oracle sums now CAST to BIGINT) + the
-# never-gated golden gates (f5x arxiv, f5y elsevier, f5z crossref, f5w aps)
-# + 9 queries whose result types were aligned this round + d1c/d1d/d1e +
-# p2 (frontier.py / politeness.py changed: robots raw-bytes, shard-cap
-# rotation, distinct-url budgets) + ppm-family regression canaries under
-# the now-type-checked local gate = 50.
+# the two r04 red rows (x14/x20, oracle sums now CAST to BIGINT) + the 9
+# never-gated queries (5 reference-fixture golden gates, substring dedup,
+# DSIR weights/sample, CDX seeds) + the 5 queries whose oracle text changed
+# since their r04 green (bigint type alignment: p1/p4/x5/x5b/x21) + the
+# ppm-family canary x2 = 50 exactly; d1c/d1d/d1e/p2 (green r04, one round
+# old) rotate to the tail and back in r06.
 _GATE_HEAD = [
     # the r04 tail: last green row r03 (or r02 for the final three) — per
     # the rotation policy no row may go two rounds stale, and the round-4
@@ -3410,25 +3473,30 @@ _GATE_HEAD = [
     # red in r04 (DuckDB HUGEINT vs int64 under the typed hash; oracles now
     # CAST ... AS BIGINT) — must prove green
     "x14_repetition", "x20_paragraph_dedup",
-    # never gated: golden-byte parity vs the reference's own fixtures
+    # never gated: golden-byte parity vs the reference's own fixtures,
+    # plus the round-5 additions (substring dedup, DSIR weights/sampling,
+    # CDX index source) — window priority per the rotation policy
     "f5x_arxiv_golden", "f5y_elsevier_golden", "f5z_crossref_golden",
     "f5w_aps_golden", "f5v_hindawi_golden",
-    # result types aligned to bigint this round (p1/p4/x5/x5b/x21) or their
-    # operator modules changed (frontier.py robots='auto' raw bytes +
-    # distinct-url budgets, politeness.py shard-cap rotation)
+    "x23_substring_dedup", "x24_dsir_weights", "x25_dsir_sample",
+    "s20_cdx_seeds",
+    # oracle text changed since their r04 green row (result types aligned
+    # to bigint) — the old green row does not prove the current oracle
     "p1_politeness_wave", "p4_crawl_order", "x5_cosine_topk", "x5b_ivf_topk",
-    "x21_gopher_rules", "p2_host_pressure",
-    "d1c_crawl_once_cuckoo", "d1d_crawl_once_cuckoo_delete", "d1e_merge_upsert",
+    "x21_gopher_rules",
     # ppm-integer family canary: three rounds of oracle-representation
-    # bugs landed here; re-prove under the type-checked local gate (x2b and
-    # x6 — same module, green r04 zero-churn — yield their head slots to
-    # the new f5w/f5v golden gates and rotate back next round)
+    # bugs landed here; re-prove under the type-checked local gate (its
+    # module dedup.py also grew the substring-dedup pass this round)
     "x2_ngram_jaccard",
 ]
 _GATE_TAIL = [
-    # green in CORRECTNESS_r04.json, zero code churn since (the f5*
-    # predictive oracles are additionally backed by the in-window f5x
-    # golden gate and the 100+ fixture pytest oracles)
+    # green in CORRECTNESS_r04.json, one round old at r05 (policy allows
+    # two) — d1c/d1d/d1e/p2 yield their head slots to the round-5
+    # never-gated queries and rotate back in r06; the f5* predictive
+    # oracles are additionally backed by the in-window golden gates and
+    # the 100+ fixture pytest oracles
+    "d1c_crawl_once_cuckoo", "d1d_crawl_once_cuckoo_delete", "d1e_merge_upsert",
+    "p2_host_pressure",
     "x2b_ngram_jaccard_capped", "x6_embedding_neardup",
     "f5_arxiv_parse", "f5b_jats_parse", "f5c_desy_parse", "f5d_crossref_parse",
     "f5e_marcxml_parse", "f5f_aps_parse", "f5g_nlm_parse", "f5h_elsevier_parse",
