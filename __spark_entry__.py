@@ -583,6 +583,37 @@ def s20_cdx_seeds(spark, sf):
     ).orderBy("urlkey")
 
 
+# -- S21: WET export (Common Crawl extracted-text sidecar) --------------------
+# pages text -> pack_wet_by_group (conversion records, per-record gzip
+# members, WARC-Refers-To back-links) -> real WARC decoder with
+# rec_types=('conversion',). The full pack -> WET bytes -> parse round trip
+# runs inside the query; the oracle predicts the output relationally.
+@_q(
+    "s21_wet_export",
+    """SELECT doc_id % 5 AS wet_id,
+           'https://w' || (doc_id % 4) || '.example.org/doc/' || doc_id AS url,
+           'text/plain' AS content_type,
+           md5(text) AS text_md5
+    FROM documents ORDER BY wet_id, url""",
+)
+def s21_wet_export(spark, sf):
+    from hepcrawl_spark.sources import warc as W
+
+    docs = _docs(spark, sf).select(
+        (F.col("doc_id") % 5).alias("wet_id"),
+        F.concat(
+            F.lit("https://w"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    packed = W.pack_wet_by_group(docs, "wet_id", "url", "text")
+    recs = W.explode_warc_records(packed, rec_types=("conversion",))
+    return recs.select(
+        "wet_id", "url", "content_type", F.md5("body").alias("text_md5")
+    ).orderBy("wet_id", "url")
+
+
 # -- C23: html -> visible text (the html:binary -> text:string leg) -----------
 # Deterministic html synthesized from doc columns (md5 payloads keep the
 # markup unambiguous), extracted through the real HTMLParser state machine;

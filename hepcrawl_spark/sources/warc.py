@@ -187,6 +187,74 @@ def explode_warc_records(
     return warcs.mapInPandas(decode, out_schema)
 
 
+def pack_wet_by_group(
+    grouped: DataFrame,
+    group_col: str,
+    url_col: str,
+    text_col: str,
+    date_col: str | None = None,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Deterministic WET synthesis (the Common Crawl extracted-text
+    sidecar): one archive per group — a warcinfo record then one
+    ``conversion`` record per input row, payload = UTF-8 text,
+    ``WARC-Refers-To`` = the md5 record id ``pack_warc_by_group`` stamps
+    on the matching response record, so a WET row joins back to its WARC
+    capture. Sorted-by-url, fixed dates, gzip member mtime=0 — byte-
+    identical across runs, so the decode (``explode_warc_records`` with
+    ``rec_types=('conversion',)``) is oracle-checkable end to end.
+
+    Scale shape: identical to ``pack_warc_by_group`` — one shuffle on the
+    group key, archives build inside applyInPandas, nothing returns to the
+    driver. Writing the (group, payload) frame to parquet/object storage
+    IS the WET sink."""
+    gtype = grouped.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {gtype}, payload binary"
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col)
+        members = [
+            _record(
+                "warcinfo",
+                [("WARC-Date", "2024-01-01T00:00:00Z")],
+                b"software: hepcrawl_spark\r\nformat: WET\r\n",
+            )
+        ]
+        for _, row in pdf.iterrows():
+            text = row[text_col]
+            body = (
+                text.encode("utf-8") if isinstance(text, str) else bytes(text)
+            )
+            date = str(row[date_col]) if date_col else "2024-01-01T00:00:00Z"
+            rid = hashlib.md5(str(row[url_col]).encode()).hexdigest()
+            members.append(
+                _record(
+                    "conversion",
+                    [
+                        ("WARC-Record-ID", f"<urn:md5:{rid}:wet>"),
+                        ("WARC-Refers-To", f"<urn:md5:{rid}>"),
+                        ("WARC-Date", date),
+                        ("WARC-Target-URI", str(row[url_col])),
+                        ("Content-Type", "text/plain"),
+                    ],
+                    body,
+                )
+            )
+        if gzip_members:
+            buf = io.BytesIO()
+            for m in members:
+                with gzip.GzipFile(
+                    fileobj=buf, mode="wb", compresslevel=6, mtime=0
+                ) as gz:
+                    gz.write(m)
+            payload = buf.getvalue()
+        else:
+            payload = b"".join(members)
+        return pd.DataFrame({group_col: [key[0]], "payload": [payload]})
+
+    return grouped.groupBy(group_col).applyInPandas(build, out_schema)
+
+
 def _record(rtype: str, warc_headers: list[tuple[str, str]], payload: bytes) -> bytes:
     head = "".join(f"{k}: {v}\r\n" for k, v in warc_headers)
     return (

@@ -119,3 +119,49 @@ def test_corrupt_member_yields_intact_prefix(spark, docs):
     # plain truncation: final member comes back partial, earlier ones intact
     cut = bytes(packed[0]["payload"])[:-40]
     assert all(m.startswith(b"WARC/1.0\r\n") for m in _gzip_members(cut))
+
+
+def test_wet_pack_decode_roundtrip(spark, docs):
+    from hepcrawl_spark.sources.warc import pack_wet_by_group
+
+    packed = pack_wet_by_group(
+        docs.select("warc_id", "url", "text"), "warc_id", "url", "text"
+    )
+    assert packed.count() == 3
+    out = explode_warc_records(packed, rec_types=("conversion",)).collect()
+    assert len(out) == 30
+    by_url = {r["url"]: r for r in out}
+    for i in range(30):
+        r = by_url[f"https://h{i % 4}.example.org/p/{i}"]
+        assert bytes(r["body"]).decode() == f"<html>body {i}</html>"
+        assert r["warc_type"] == "conversion"
+        assert r["http_status"] is None  # no HTTP envelope in WET
+        assert r["content_type"] == "text/plain"
+
+
+def test_wet_refers_to_joins_back_to_warc_capture(spark, docs):
+    """WARC-Refers-To carries the md5 record id pack_warc_by_group stamps
+    on the response record — the two sidecars stay joinable by url."""
+    from hepcrawl_spark.sources.warc import pack_wet_by_group
+
+    packed = pack_wet_by_group(
+        docs.select("warc_id", "url", "text").filter("warc_id = 0"),
+        "warc_id", "url", "text", gzip_members=False,
+    )
+    blob = bytes(packed.collect()[0]["payload"])
+    for i in range(0, 30, 3):
+        url = f"https://h{i % 4}.example.org/p/{i}"
+        rid = hashlib.md5(url.encode()).hexdigest()
+        assert f"WARC-Refers-To: <urn:md5:{rid}>".encode() in blob
+
+
+def test_wet_deterministic_bytes(spark, docs):
+    from hepcrawl_spark.sources.warc import pack_wet_by_group
+
+    sel = docs.select("warc_id", "url", "text")
+    a = {r["warc_id"]: bytes(r["payload"])
+         for r in pack_wet_by_group(sel, "warc_id", "url", "text").collect()}
+    b = {r["warc_id"]: bytes(r["payload"])
+         for r in pack_wet_by_group(
+             sel.repartition(7), "warc_id", "url", "text").collect()}
+    assert a == b
