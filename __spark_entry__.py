@@ -2539,6 +2539,66 @@ def x20_paragraph_dedup(spark, sf):
     return paragraph_dedup(t).orderBy("doc_id")
 
 
+# -- X26: anchor-text aggregation (operators/anchors.py) ----------------------
+# Deterministic html: every doc links to target doc_id%97 with the target's
+# own phrase and to (doc_id*7+3)%97 with one of three 'go K' phrases. The
+# rollup dedupes (src_host, target, text) per the anchor-spam guard, counts
+# distinct hosts, and picks the dominant phrase (ties -> lexicographically
+# smallest). The oracle replays dedup + counts + the window winner in SQL.
+@_q(
+    "x26_anchor_text",
+    """WITH a AS (
+      SELECT 'h' || (doc_id % 10) || '.example.org' AS src_host,
+             'https://t.example.org/p/' || (doc_id % 97) AS target_url,
+             't' || (doc_id % 97) AS anchor_text
+      FROM documents
+      UNION ALL
+      SELECT 'h' || (doc_id % 10) || '.example.org',
+             'https://t.example.org/p/' || ((doc_id * 7 + 3) % 97),
+             'go ' || (doc_id % 3)
+      FROM documents
+    ), d AS (
+      SELECT DISTINCT src_host, target_url, anchor_text FROM a
+    ), c AS (
+      SELECT target_url, anchor_text, count(*) AS cnt
+      FROM d GROUP BY 1, 2
+    ), w AS (
+      SELECT target_url, anchor_text,
+             row_number() OVER (PARTITION BY target_url
+                                ORDER BY cnt DESC, anchor_text) AS rn
+      FROM c
+    )
+    SELECT t.target_url, t.n_anchors, h.n_hosts, w.anchor_text AS top_anchor
+    FROM (SELECT target_url, CAST(sum(cnt) AS BIGINT) AS n_anchors
+          FROM c GROUP BY 1) t
+    JOIN (SELECT target_url,
+                 CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+          FROM a GROUP BY 1) h USING (target_url)
+    JOIN w ON w.target_url = t.target_url AND w.rn = 1
+    ORDER BY target_url""",
+)
+def x26_anchor_text(spark, sf):
+    from hepcrawl_spark.operators.anchors import anchor_text_table, extract_anchors
+
+    k1 = (F.col("doc_id") % 97).cast("string")
+    k2 = ((F.col("doc_id") * 7 + 3) % 97).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://t.example.org/p/'), k1,
+        F.lit('">t'), k1, F.lit("</a>"),
+        F.lit('<a href="https://t.example.org/p/'), k2,
+        F.lit('">go '), (F.col("doc_id") % 3).cast("string"),
+        F.lit("</a></body></html>"),
+    )
+    pages = _docs(spark, sf).select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_text_table(extract_anchors(pages)).orderBy("target_url")
+
+
 # -- X21: Gopher document-quality rules (Rae et al. 2021 Table A1) ------------
 # Real document text shaped per doc_id%4: plain / bullet-list tail / too-
 # short / ellipsis-line tail, run through the full rule set. Ratios are RAW
