@@ -1950,6 +1950,71 @@ def x25_dsir_sample(spark, sf):
     )
 
 
+# -- X27: CCNet-style LM perplexity (hashed add-1 bigram model) ---------------
+# Wenzek et al. 2020 re-expressed relationally: fit unigram+bigram bucket
+# counts on the target sources, score every raw-pool doc by bigram
+# cross-entropy via a broadcast fold (operators/perplexity.py). The oracle
+# refits both count vectors in SQL from the shared _NORM_SQL tokens and
+# the same md5 bucket hash; int-exact counts make each ln() term
+# bit-identical, and milli-rounding absorbs the fold-vs-sum order ulp
+# (the x24 convention).
+@_q(
+    "x27_lm_perplexity",
+    f"""WITH toks AS (
+      SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT (('0x' || substr(md5(u.g), 1, 7))::BIGINT) % {_DSIR_B} AS bucket,
+             count(*)::BIGINT AS c
+      FROM toks, LATERAL unnest(t) AS u(g)
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+    ), bi AS (
+      SELECT (('0x' || substr(md5(t[i.i] || ' ' || t[i.i+1]), 1, 7))::BIGINT)
+               % {_DSIR_B} AS bucket,
+             count(*)::BIGINT AS c
+      FROM toks, LATERAL unnest(range(1, len(t))) AS i(i)
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+    ), pairs AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(t[i.i]), 1, 7))::BIGINT) % {_DSIR_B} AS cb,
+             (('0x' || substr(md5(t[i.i] || ' ' || t[i.i+1]), 1, 7))::BIGINT)
+               % {_DSIR_B} AS bb
+      FROM toks, LATERAL unnest(range(1, len(t))) AS i(i)
+      WHERE source NOT IN ('src0', 'src1', 'src2')
+    ), score AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(ln((COALESCE(bi.c, 0) + 1.0)
+                    / (COALESCE(uni.c, 0) + 1.0 * {_DSIR_B}))) AS s
+      FROM pairs
+      LEFT JOIN uni ON uni.bucket = pairs.cb
+      LEFT JOIN bi ON bi.bucket = pairs.bb
+      GROUP BY 1
+    )
+    SELECT r.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           CASE WHEN s.n_bigrams > 0
+                THEN CAST(round(-s.s / s.n_bigrams * 1000) AS BIGINT) END
+             AS ce_milli
+    FROM (SELECT doc_id FROM documents
+          WHERE source NOT IN ('src0', 'src1', 'src2')) r
+    LEFT JOIN score s USING (doc_id)
+    ORDER BY r.doc_id""",
+)
+def x27_lm_perplexity(spark, sf):
+    from hepcrawl_spark.operators import perplexity as PX
+
+    tgt, raw = _dsir_split(spark, sf)
+    model = PX.fit_bigram_lm(tgt, num_buckets=_DSIR_B)
+    return (
+        PX.lm_score(raw, model)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("cross_entropy") * 1000).cast("long").alias("ce_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -- X4: simhash fingerprints ----------------------------------------------------------------------------------
 _SH_BITS = 16
 
