@@ -1950,6 +1950,72 @@ def x25_dsir_sample(spark, sf):
     )
 
 
+# -- X28: product-quantization encode + ADC scoring (operators/pq.py) ---------
+# The PQ kernel gated with ORACLE-REPLAYABLE codebooks (linear_codebooks'
+# arithmetic grid stands in for the k-means-trained ones, which the pytest
+# suite covers): normalize -> per-subspace L2 argmin encode -> per-query
+# inner-product LUT -> gather-sum ADC estimate, exactly the FAISS IndexPQ
+# asymmetric-distance pipeline. The oracle replays normalization, argmin
+# (same d2-then-index tie-break), LUT build and gather in SQL; milli-
+# rounding absorbs gather-vs-sum order ulps.
+_PQ_M, _PQ_K, _PQ_D = 4, 4, 16  # 4 subspaces x 16 dims, 4 centroids each
+
+
+@_q(
+    "x28_pq_adc",
+    f"""WITH nrm AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS n
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / greatest(n, 1e-12)) AS v
+      FROM nrm
+    ), cent AS (
+      SELECT j.j AS j, c.c AS c, d.d AS d,
+             ((7 * j.j + 11 * c.c + 13 * d.d) % 19 - 9) / 10.0 AS w
+      FROM range({_PQ_M}) j(j), range({_PQ_K}) c(c), range({_PQ_D}) d(d)
+    ), dist AS (
+      SELECT vn.vec_id, cent.j, cent.c,
+             sum((v[cent.j * {_PQ_D} + cent.d + 1] - cent.w)
+                 * (v[cent.j * {_PQ_D} + cent.d + 1] - cent.w)) AS d2
+      FROM vn, cent GROUP BY 1, 2, 3
+    ), code AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT vn.vec_id AS query_id, cent.j, cent.c,
+             sum(v[cent.j * {_PQ_D} + cent.d + 1] * cent.w) AS ip
+      FROM vn, cent WHERE vn.vec_id < 5 GROUP BY 1, 2, 3
+    ), adc AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.ip) AS adc
+      FROM code k JOIN lut l ON l.j = k.j AND l.c = k.c
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           CAST(round(adc * 1000) AS BIGINT) AS adc_milli
+    FROM adc WHERE query_id <> neighbor_id
+    ORDER BY query_id, neighbor_id""",
+)
+def x28_pq_adc(spark, sf):
+    from hepcrawl_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf)
+    books = PQ.linear_codebooks(_PQ_M, _PQ_K, _PQ_D)
+    codes = PQ.pq_encode(emb, books)
+    out = PQ.adc_topk(codes, emb.filter("vec_id < 5"), books, k=10_000_000)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("adc") * 1000).cast("long").alias("adc_milli"),
+    ).orderBy("query_id", "neighbor_id")
+
+
 # -- X27: CCNet-style LM perplexity (hashed add-1 bigram model) ---------------
 # Wenzek et al. 2020 re-expressed relationally: fit unigram+bigram bucket
 # counts on the target sources, score every raw-pool doc by bigram

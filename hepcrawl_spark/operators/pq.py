@@ -1,0 +1,403 @@
+"""Product quantization (PQ) and IVF-PQ: memory-compressed ANN.
+
+At 100-TB corpus scale the embedding column itself is the bottleneck: 1 B
+documents x 768 float32 = ~3 TB that every ANN probe must touch. Product
+quantization (Jegou et al. 2011, the FAISS ``IndexIVFPQ`` design) stores
+each vector as ``m`` one-byte codes — 768 floats become 8-96 bytes (32-384x
+compression) — and scores candidates against a query with an
+asymmetric-distance (ADC) table lookup instead of a dot product.
+
+Spark-first decomposition:
+
+- **Train** (``pq_train``): per-subspace Lloyd k-means on a deterministic
+  md5-ordered sample, numpy on the driver — codebook training is
+  sample-bound by standard practice (FAISS trains on 10^4-10^5 vectors
+  regardless of corpus size), so the collect is O(sample_n x dim). The
+  codebook is [m, ksub, dsub] — a few hundred KB even at production sizes.
+- **Encode** (``pq_encode``): one Arrow-batched pandas UDF; per subspace a
+  BLAS ``V_j @ cb_j.T`` argmin. Narrow — no shuffle; the output row is
+  (id, code[m]) and the float vector can be dropped from the hot table.
+- **Score** (``adc_topk`` / ``ivfpq_topk``): queries are collected and
+  broadcast (O(n_queries x dim) — queries are the small side by
+  definition); one ``mapInPandas`` pass over the code rows builds each
+  query's [m, ksub] inner-product LUT once per batch and scores every
+  code row with numpy fancy-indexing gathers — the scan reads BYTES, not
+  floats. Top-k lands on a per-query window over candidates only.
+- **IVF-PQ** (``ivfpq_build``/``ivfpq_topk``): the coarse quantizer and
+  cell assignment come from ``similarity.ivf_build``; codes encode the
+  RESIDUAL ``v_hat - C[cell]`` (residual PQ beats raw PQ because cells
+  absorb the coarse structure), and the ADC score adds the scalar
+  ``q_hat . C[cell]`` per probed cell. An optional exact-refine re-ranks
+  the top ``refine`` ADC candidates with true cosines — the standard
+  accuracy knob that touches only O(refine) full vectors per query.
+
+All cosine semantics: vectors are L2-normalized before encoding, so inner
+product == cosine and the ADC estimate approximates the cosine directly.
+
+Reference context: beyond-reference (hepcrawl has no vector search), the
+scale path beside ``similarity.ivf_topk_kmeans`` (exact-vector IVF) and
+``similarity.lsh_topk``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .similarity import _dbl, _dot, _norm, ivf_build, nearest_cells_udf
+
+
+def linear_codebooks(m: int, ksub: int, dsub: int) -> np.ndarray:
+    """Deterministic arithmetic codebook — the oracle-replayable stand-in
+    for a trained one: value(j, c, d) = ((7j + 11c + 13d) mod 19 - 9)/10."""
+    j, c, d = np.meshgrid(
+        np.arange(m), np.arange(ksub), np.arange(dsub), indexing="ij"
+    )
+    return ((7 * j + 11 * c + 13 * d) % 19 - 9) / 10.0
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def pq_train(
+    vecs: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    iterations: int = 10,
+    seed: str = "pq",
+    residual_of: np.ndarray | None = None,
+    cell_col: str = "cell",
+) -> np.ndarray:
+    """Train [m, ksub, dsub] codebooks on an md5-ordered sample. With
+    ``residual_of`` (the [n_cells, dim] coarse centroids), training runs on
+    ``v_hat - C[cell]`` using the sample rows' ``cell_col``."""
+    cols = [F.col(id_col), _dbl(vec_col).alias("_v")] + (
+        [F.col(cell_col)] if residual_of is not None else []
+    )
+    samp = (
+        vecs.select(*cols)
+        .withColumn(
+            "_h",
+            F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string"))),
+        )
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = _normalize(np.array([r["_v"] for r in samp], dtype=np.float64))
+    if residual_of is not None:
+        X = X - residual_of[np.array([r[cell_col] for r in samp])]
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cb = S[:ksub].copy()
+        for _ in range(iterations):
+            d2 = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    cb[c] = S[mask].mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(id[, cell], code[m]) rows: per-subspace L2 argmin against the
+    codebooks, Arrow-batched. With ``centroids`` the encoded vector is the
+    residual ``v_hat - C[cell]`` (``cell_col`` must be present)."""
+    m, ksub, dsub = codebooks.shape
+    spark = vecs.sparkSession
+    b_books = spark.sparkContext.broadcast(np.ascontiguousarray(codebooks))
+    b_cent = (
+        spark.sparkContext.broadcast(np.ascontiguousarray(centroids))
+        if centroids is not None
+        else None
+    )
+    with_cell = centroids is not None
+    out_fields = [vecs.schema[id_col]] + (
+        [vecs.schema[cell_col]] if with_cell else []
+    ) + [StructField("code", ArrayType(IntegerType()))]
+    out_schema = StructType(out_fields)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = b_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            if with_cell:
+                V = V - b_cent.value[pdf[cell_col].to_numpy()]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                # argmin ||s - c||^2 = argmin (||c||^2 - 2 s.c)
+                d2 = (cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (S @ cb[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            cols = {id_col: pdf[id_col]}
+            if with_cell:
+                cols[cell_col] = pdf[cell_col]
+            cols["code"] = [row.tolist() for row in codes]
+            yield pd.DataFrame(cols)
+
+    return vecs.mapInPandas(enc, out_schema)
+
+
+def _adc_scores(
+    rows: DataFrame,
+    codebooks: np.ndarray,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    id_col: str,
+    centroids: np.ndarray | None,
+    restrict_pairs: bool,
+) -> DataFrame:
+    """mapInPandas ADC kernel: per batch, per query LUT[m, ksub] = q_j . cb_j,
+    score = (q . C[cell] if IVF) + sum_j LUT[j, code_j] via fancy-index
+    gathers. ``restrict_pairs`` scores only the row's own (query_id, code)
+    pair (the IVF-PQ candidate join shape); otherwise every broadcast query
+    scores every code row (the flat-PQ scan shape)."""
+    m, ksub, dsub = codebooks.shape
+    spark = rows.sparkSession
+    b_books = spark.sparkContext.broadcast(np.ascontiguousarray(codebooks))
+    b_q = spark.sparkContext.broadcast(
+        (np.ascontiguousarray(q_ids), np.ascontiguousarray(_normalize(q_mat)))
+    )
+    b_cent = (
+        spark.sparkContext.broadcast(np.ascontiguousarray(centroids))
+        if centroids is not None
+        else None
+    )
+    has_cell = centroids is not None
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("adc", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = b_books.value
+        qids, Q = b_q.value
+        # each query's [m, ksub] inner-product table, built once per task
+        lut = np.einsum("qjd,jkd->qjk", Q.reshape(len(Q), m, dsub), cb)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            j_idx = np.arange(m)[None, :]
+            nids = pdf[id_col].to_numpy()
+            if restrict_pairs:
+                qi = np.array([qpos[int(q)] for q in pdf["query_id"]])
+                s = lut[qi[:, None], j_idx, codes].sum(axis=1)
+                if has_cell:
+                    s = s + np.einsum(
+                        "nd,nd->n",
+                        Q[qi],
+                        b_cent.value[pdf["cell"].to_numpy()],
+                    )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": nids,
+                        "adc": s,
+                    }
+                )
+            else:
+                # every query scores every row: [nq, nrows]
+                g = lut[:, j_idx, codes].sum(axis=2)
+                nq, nr = len(qids), len(nids)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, nr),
+                        "neighbor_id": np.tile(nids, nq),
+                        "adc": g.reshape(-1),
+                    }
+                )
+
+    return rows.mapInPandas(score, out_schema)
+
+
+def _collect_queries(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    rows = queries.select(F.col(id_col), _dbl(vec_col).alias("_v")).collect()
+    return (
+        np.array([r[id_col] for r in rows], dtype=np.int64),
+        np.array([r["_v"] for r in rows], dtype=np.float64),
+    )
+
+
+def adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Flat PQ scan (FAISS IndexPQ): every query ADC-scores every code row
+    in one mapInPandas pass over the compressed table; top-k per query.
+    Returns (query_id, neighbor_id, adc, rank)."""
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    scored = _adc_scores(
+        codes, codebooks, q_ids, q_mat, id_col, None, restrict_pairs=False
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    spill: int = 1,
+    seed: str = "ivfpq",
+):
+    """Coarse quantizer + residual codebooks + compressed code table.
+    Returns (centroids, codebooks, codes) where codes = (id, cell, code[m])
+    — the float vectors are NOT in the hot table."""
+    C, assigned = ivf_build(
+        corpus,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_n=sample_n,
+        spill=spill,
+        seed=seed,
+    )
+    books = pq_train(
+        assigned,
+        m=m,
+        ksub=ksub,
+        vec_col=vec_col,
+        id_col=id_col,
+        sample_n=sample_n,
+        seed=seed,
+        residual_of=C,
+    )
+    codes = pq_encode(
+        assigned, books, vec_col=vec_col, id_col=id_col, centroids=C
+    )
+    return C, books, codes
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    nprobe: int = 8,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    built=None,
+):
+    """IVF-PQ ANN: probe ``nprobe`` cells, ADC-score only the probed
+    cells' code rows, optionally exact-refine the top ``refine`` ADC
+    candidates with true cosines. Returns ((query_id, neighbor_id, score,
+    rank), candidate-ids DF) — the second element measures the true scan
+    fraction, matching ``similarity.ivf_topk_kmeans``'s contract."""
+    C, books, codes = built if built is not None else ivfpq_build(
+        corpus, n_cells, m, ksub, id_col, vec_col
+    )
+    probe = nearest_cells_udf(corpus.sparkSession, C, nprobe)
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # spill duplicates: a vector has one (cell, code) row PER spill
+        # cell and the residual code is cell-dependent, so the pair must
+        # travel together — keep the lowest-cell row deterministically
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min(F.struct("cell", "code")).alias("_s"))
+        .select(
+            "query_id", "neighbor_id",
+            F.col("_s.cell").alias("cell"), F.col("_s.code").alias("code"),
+        )
+    )
+    scored = _adc_scores(
+        cand, books, q_ids, q_mat, "neighbor_id", C, restrict_pairs=True
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    if not refine:
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumnRenamed("adc", "score")
+        )
+        return topk, cand.select("query_id", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qvec")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(vec_col).alias("nvec")
+    )
+    exact = (
+        shortlist.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "score", _dot("qvec", "nvec") / (_norm("qvec") * _norm("nvec"))
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+    return topk, cand.select("query_id", "neighbor_id")

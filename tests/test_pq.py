@@ -1,0 +1,100 @@
+"""Product quantization + IVF-PQ: encode parity, ADC recall, refine."""
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from hepcrawl_spark.operators import pq as PQ
+from hepcrawl_spark.operators.similarity import (
+    cosine_topk,
+    synthesize_clustered_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthesize_clustered_embeddings(
+        spark, n=600, dim=32, n_clusters=12, spread=0.5
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter("vec_id < 8")
+
+
+def test_encode_matches_numpy_replay(spark):
+    dim, m, ksub = 8, 4, 4
+    books = PQ.linear_codebooks(m, ksub, dim // m)
+    rows = [(i, [((i * 7 + d) % 5 - 2) / 2.0 for d in range(dim)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["code"] for r in PQ.pq_encode(df, books).collect()}
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    for i in range(20):
+        for j in range(m):
+            s = V[i, j * dsub : (j + 1) * dsub]
+            want = int(np.argmin(((s[None, :] - books[j]) ** 2).sum(axis=1)))
+            assert got[i][j] == want, (i, j)
+
+
+def _recall(topk, exact, k=5):
+    t = {(r["query_id"], r["neighbor_id"]) for r in topk.collect()}
+    e = [(r["query_id"], r["neighbor_id"]) for r in exact.collect()]
+    return sum(1 for p in e if p in t) / len(e)
+
+
+def test_flat_pq_adc_shortlist_contains_truth(spark, corpus, queries):
+    """PQ's contract is shortlist quality, not within-cluster ranking:
+    quantization ties tight-cluster members (identical codes -> identical
+    ADC), so the assertion is that the ADC top-25 CONTAINS the exact
+    top-5 — which is exactly what the refine step consumes."""
+    books = PQ.pq_train(corpus, m=16, ksub=64, sample_n=600)
+    codes = PQ.pq_encode(corpus, books)
+    short = PQ.adc_topk(codes, queries, books, k=25)
+    exact = cosine_topk(corpus, queries, k=5)
+    assert _recall(short, exact) >= 0.9
+
+
+def test_ivfpq_probe_and_refine(spark, corpus, queries):
+    built = PQ.ivfpq_build(corpus, n_cells=16, m=16, ksub=64, sample_n=600)
+    exact = cosine_topk(corpus, queries, k=5)
+    topk, cand = PQ.ivfpq_topk(
+        corpus, queries, k=5, nprobe=4, built=built
+    )
+    n_cand = cand.count()
+    scan_frac = n_cand / (8 * 600)
+    assert scan_frac < 0.5  # probing must actually prune
+    r_adc = _recall(topk, exact)
+    topk_r, _ = PQ.ivfpq_topk(
+        corpus, queries, k=5, nprobe=4, refine=25, built=built
+    )
+    r_ref = _recall(topk_r, exact)
+    assert r_ref >= r_adc - 1e-9  # refine never hurts
+    assert r_ref >= 0.85
+
+
+def test_refine_scores_are_exact_cosines(spark, corpus, queries):
+    built = PQ.ivfpq_build(corpus, n_cells=16, m=8, ksub=16, sample_n=600)
+    topk_r, _ = PQ.ivfpq_topk(
+        corpus, queries, k=3, nprobe=6, refine=25, built=built
+    )
+    row = topk_r.orderBy("query_id", "rank").first()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in corpus.filter(
+            F.col("vec_id").isin(row["query_id"], row["neighbor_id"])
+        ).collect()
+    }
+    q, n = vecs[row["query_id"]], vecs[row["neighbor_id"]]
+    want = float(q @ n / (np.linalg.norm(q) * np.linalg.norm(n)))
+    assert row["score"] == pytest.approx(want, rel=1e-9)
+
+
+def test_no_row_python_in_plan(spark, corpus, queries):
+    built = PQ.ivfpq_build(corpus, n_cells=16, m=8, ksub=16, sample_n=600)
+    topk, _ = PQ.ivfpq_topk(corpus, queries, k=5, nprobe=4, built=built)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
