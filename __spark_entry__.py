@@ -1950,6 +1950,123 @@ def x25_dsir_sample(spark, sf):
     )
 
 
+# -- X30: BM25 keyword search (operators/search.py) ---------------------------
+# Inverted-index build + Lucene-BM25 ranked retrieval. The query is the
+# corpus's own top-5 df terms (tie-break term asc — deterministic in both
+# engines); the oracle rebuilds tf/dl/df/N/avgdl in SQL and replays the
+# scoring arithmetic with the SAME literal association ((1.2 + 1.0) is
+# COMPUTED in both engines, never folded to 2.2 — the sum sits on a
+# round-to-even tie), so every contribution is bit-identical and
+# milli-rounding only absorbs the final sum order.
+@_q(
+    "x30_bm25",
+    f"""WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, u.g AS term FROM toks, LATERAL unnest(t) AS u(g)
+    ), tf AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf FROM base GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*)::BIGINT AS dl FROM base GROUP BY 1
+    ), dft AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT (SELECT count(*) FROM dl)::BIGINT AS n,
+             (SELECT sum(dl) FROM dl)::BIGINT AS total
+    ), qterms AS (
+      SELECT term FROM dft ORDER BY df DESC, term LIMIT 5
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                    / (stats.total * 1.0 / stats.n)))) AS c
+      FROM tf
+      JOIN qterms USING (term) JOIN dft USING (term) JOIN dl USING (doc_id),
+      stats
+    ), s AS (
+      SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1
+    ), r AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM s
+    )
+    SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+           CAST(round(score * 1000) AS BIGINT) AS bm25_milli, rank
+    FROM r WHERE rank <= 10 ORDER BY rank""",
+)
+def x30_bm25(spark, sf):
+    from hepcrawl_spark.operators.search import bm25_topk, build_bm25_index
+
+    idx = build_bm25_index(_docs(spark, sf))
+    qterms = (
+        idx.postings.select("term", "df")
+        .distinct()
+        .orderBy(F.col("df").desc(), "term")
+        .limit(5)
+        .select(F.lit(0).cast("long").alias("query_id"), "term")
+    )
+    return (
+        bm25_topk(idx, qterms, k=10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score") * 1000).cast("long").alias("bm25_milli"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+# -- X29: per-host quality rollup (operators/textstats.py) --------------------
+# The crawl-operator dashboard: one fused groupBy(host) computing doc
+# counts, token totals, langid fractions and exact-dup fractions as pure
+# integers (counts + integer-division ppm) — bit-stable across engines.
+# Hosts come from doc_id%20; doc_id%11 docs share one of five 'copy K'
+# bodies so the dup fraction is nonzero and host-dependent.
+@_q(
+    "x29_host_rollup",
+    f"""WITH t AS (
+      SELECT 'h' || (doc_id % 20) AS host,
+             CASE WHEN doc_id % 11 = 0 THEN 'copy ' || (doc_id % 5)
+                  ELSE text END AS text
+      FROM documents
+    ), sig AS (
+      SELECT host, text,
+             len(string_split({_NORM_SQL}, ' ')) AS n_ws,
+             (len(list_filter(string_split({_NORM_SQL}, ' '),
+                              x -> list_contains(
+               [{",".join("'" + w + "'" for w in X.EN_STOPWORDS)}], x)))
+              * 1.0 / len(string_split({_NORM_SQL}, ' '))) >= 0.08 AS is_en
+      FROM t
+    )
+    SELECT host,
+           count(*) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS en_ppm,
+           CAST((count(*) - count(DISTINCT md5(text))) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM sig GROUP BY host ORDER BY host""",
+)
+def x29_host_rollup(spark, sf):
+    from hepcrawl_spark.operators.textstats import host_quality_rollup
+
+    t = _docs(spark, sf).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("copy "), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        host_quality_rollup(t)
+        .select("host", "n_docs", "n_tokens", "n_en", "en_ppm", "dup_ppm")
+        .orderBy("host")
+    )
+
+
 # -- X28: product-quantization encode + ADC scoring (operators/pq.py) ---------
 # The PQ kernel gated with ORACLE-REPLAYABLE codebooks (linear_codebooks'
 # arithmetic grid stands in for the k-means-trained ones, which the pytest

@@ -462,3 +462,44 @@ def gopher_rules(
         out = out.withColumn(name, cond)
         passes = passes & cond
     return out.withColumn("passes", passes)
+
+
+def host_quality_rollup(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    lang_threshold: float = 0.08,
+) -> DataFrame:
+    """Per-host corpus-health dashboard: the aggregation a crawl operator
+    reads to decide which hosts to boost, throttle, or blocklist.
+
+    One fused pass: every per-doc signal (whitespace token count, langid
+    verdict, exact-dup digest) is a column expression computed inside the
+    SINGLE groupBy(host) — no joins, no second scan; countDistinct(md5)
+    rides the same aggregate. All outputs are integers (counts and
+    exact-integer-division ppm) so the rollup is bit-stable across
+    engines and safe to diff between crawl snapshots.
+
+    Scale shape: one shuffle on host, map-side partial aggregation; skewed
+    hosts partial-aggregate to one row per partition before the exchange.
+    """
+    c = F.col(text_col)
+    is_en = (english_score(text_col) >= lang_threshold).cast("long")
+    out = (
+        docs.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_ws(text_col).cast("long")).alias("n_tokens"),
+            F.sum(is_en).alias("n_en"),
+            F.countDistinct(F.md5(c)).alias("n_unique"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_en").cast("long").alias("n_en"),
+            F.expr("n_en * 1000000 DIV n_docs").alias("en_ppm"),
+            F.expr("(n_docs - n_unique) * 1000000 DIV n_docs").alias("dup_ppm"),
+        )
+    )
+    return out

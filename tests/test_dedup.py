@@ -445,3 +445,24 @@ def test_substring_dedup_rejects_degenerate_window(spark):
 
     with pytest.raises(ValueError):
         substring_dedup(spark.range(1).withColumn("text", F.lit("x")), window=1)
+
+
+def test_host_quality_rollup(spark):
+    from hepcrawl_spark.operators.textstats import host_quality_rollup
+
+    rows = [
+        # h1: 2 docs, one english-ish, duplicated body
+        ("h1", "the and of to in a is it for was on"),
+        ("h1", "the and of to in a is it for was on"),
+        # h2: 3 docs, none english, all unique
+        ("h2", "zz yy xx"),
+        ("h2", "qq pp oo"),
+        ("h2", "mm nn ll"),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {r["host"]: r for r in host_quality_rollup(df).collect()}
+    h1, h2 = got["h1"], got["h2"]
+    assert h1["n_docs"] == 2 and h1["n_tokens"] == 22
+    assert h1["n_en"] == 2 and h1["en_ppm"] == 1_000_000
+    assert h1["dup_ppm"] == 500_000  # 2 docs, 1 unique body
+    assert h2["n_docs"] == 3 and h2["n_en"] == 0 and h2["dup_ppm"] == 0
