@@ -1958,9 +1958,7 @@ def x25_dsir_sample(spark, sf):
 # COMPUTED in both engines, never folded to 2.2 — the sum sits on a
 # round-to-even tie), so every contribution is bit-identical and
 # milli-rounding only absorbs the final sum order.
-@_q(
-    "x30_bm25",
-    f"""WITH toks AS (
+_BM25_CTE = f"""toks AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
     ), base AS (
       SELECT doc_id, u.g AS term FROM toks, LATERAL unnest(t) AS u(g)
@@ -1986,14 +1984,19 @@ def x25_dsir_sample(spark, sf):
       stats
     ), s AS (
       SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1
-    ), r AS (
+    ), bmr AS (
       SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
       FROM s
-    )
+    )"""
+
+
+@_q(
+    "x30_bm25",
+    f"""WITH {_BM25_CTE}
     SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
            CAST(round(score * 1000) AS BIGINT) AS bm25_milli, rank
-    FROM r WHERE rank <= 10 ORDER BY rank""",
+    FROM bmr WHERE rank <= 10 ORDER BY rank""",
 )
 def x30_bm25(spark, sf):
     from hepcrawl_spark.operators.search import bm25_topk, build_bm25_index
@@ -2012,6 +2015,80 @@ def x30_bm25(spark, sf):
             "query_id",
             "doc_id",
             F.round(F.col("score") * 1000).cast("long").alias("bm25_milli"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+# -- X31: reciprocal-rank fusion (hybrid keyword + semantic retrieval) --------
+# RRF (Cormack et al. 2009) over two top-10 lists for one query: the x30
+# BM25 ranking and a deterministic stand-in "semantic" ranking (docs by
+# md5(text) — rank-only input is the whole point of RRF, so any ranked
+# list exercises it). Each doc appears in <= 2 lists, so the fused score
+# 1/(60+r1) + 1/(60+r2) is a <= 2-addend IEEE sum — bit-identical across
+# engines with NO rounding slack needed; nano-rounding is cosmetic.
+@_q(
+    "x31_rrf_hybrid",
+    f"""WITH {_BM25_CTE}, bmtop AS (
+      SELECT doc_id, rank FROM bmr WHERE rank <= 10
+    ), semtop AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY md5(text), doc_id) AS rank
+        FROM documents
+      ) WHERE rank <= 10
+    ), u AS (
+      SELECT doc_id, rank FROM bmtop
+      UNION ALL SELECT doc_id, rank FROM semtop
+    ), f AS (
+      SELECT doc_id, sum(1.0 / (60.0 + rank)) AS sc,
+             count(*)::BIGINT AS n_lists
+      FROM u GROUP BY 1
+    ), fr AS (
+      SELECT doc_id, sc, n_lists,
+             row_number() OVER (ORDER BY sc DESC, doc_id) AS rank
+      FROM f
+    )
+    SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+           CAST(round(sc * 1000000000) AS BIGINT) AS rrf_nano,
+           n_lists, rank
+    FROM fr WHERE rank <= 10 ORDER BY rank""",
+)
+def x31_rrf_hybrid(spark, sf):
+    from hepcrawl_spark.operators.search import (
+        bm25_topk,
+        build_bm25_index,
+        rrf_fuse,
+    )
+
+    docs = _docs(spark, sf)
+    idx = build_bm25_index(docs)
+    qterms = (
+        idx.postings.select("term", "df")
+        .distinct()
+        .orderBy(F.col("df").desc(), "term")
+        .limit(5)
+        .select(F.lit(0).cast("long").alias("query_id"), "term")
+    )
+    bm = bm25_topk(idx, qterms, k=10).select("query_id", "doc_id", "rank")
+    sem = (
+        docs.select(
+            F.lit(0).cast("long").alias("query_id"),
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.md5("text"), F.col("doc_id")))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    return (
+        rrf_fuse([bm, sem], k=10, c=60)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("rrf_score") * 1000000000).cast("long").alias("rrf_nano"),
+            F.col("n_lists").cast("long").alias("n_lists"),
             F.col("rank").cast("long").alias("rank"),
         )
         .orderBy("rank")

@@ -107,3 +107,34 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+    glue between this module's BM25 ranks and the ANN family's cosine
+    ranks: score(d) = sum over lists of 1/(c + rank_list(d)).
+
+    Each input carries (query_id, id_col, rank). RRF only consumes RANKS,
+    so keyword scores and cosine scores never need calibrating against
+    each other. The union is tiny (top-k per list per query); one
+    groupBy + per-query window finishes — nothing touches the corpus.
+    """
+    unioned = ranked_lists[0].select("query_id", id_col, "rank")
+    for df in ranked_lists[1:]:
+        unioned = unioned.unionByName(df.select("query_id", id_col, "rank"))
+    fused = unioned.groupBy("query_id", id_col).agg(
+        F.sum(1.0 / (F.lit(float(c)) + F.col("rank"))).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

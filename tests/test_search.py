@@ -74,3 +74,22 @@ def test_no_python_and_broadcast_join(spark, index):
     plan = bm25_topk(index, q)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # query terms broadcast the postings
+
+
+def test_rrf_fusion(spark):
+    from hepcrawl_spark.operators.search import rrf_fuse
+
+    bm25 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    ann = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([bm25, ann], k=4).collect()}
+    # doc 11 appears rank2+rank1, doc 10 rank1+rank3 -> 11 wins
+    assert out[11]["rank"] == 1 and out[10]["rank"] == 2
+    assert out[11]["n_lists"] == 2
+    assert out[11]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, rel=1e-12)
+    assert out[12]["n_lists"] == 1  # single-list docs still rank
