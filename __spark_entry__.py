@@ -2579,6 +2579,42 @@ def x11_dedup_clusters(spark, sf):
     )
 
 
+# -- X32: leakage-safe train/val split (operators/scrub.py) -------------------
+# The split hash is taken on the DEDUP COMPONENT, so near-dup cluster
+# members never straddle the train/val boundary — the eval-contamination
+# guard every LLM pipeline needs after near-dup clustering. Reuses the
+# x10/x11 component machinery; the oracle replays the recursive label
+# propagation plus the same md5 split hash.
+@_q(
+    "x32_leakage_split",
+    f"WITH RECURSIVE {_CC_EDGES_SQL}\n"
+    """, lab AS (
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             COALESCE(cc.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN cc ON CAST(d.doc_id AS BIGINT) = cc.node
+    )
+    SELECT doc_id, component,
+           CASE WHEN (('0x' || substr(md5(component::VARCHAR || 'split1'),
+                                      1, 8))::BIGINT) / 4294967296.0 < 0.2
+                THEN 'val' ELSE 'train' END AS split
+    FROM lab ORDER BY doc_id""",
+)
+def x32_leakage_split(spark, sf):
+    from hepcrawl_spark.operators.components import dedup_clusters
+    from hepcrawl_spark.operators.scrub import leakage_safe_split
+
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long").alias("doc_id"))
+    labeled = dedup_clusters(
+        _cc_edges(spark, sf), docs, id_col="doc_id",
+        left_col="src", right_col="dst",
+    )
+    return (
+        leakage_safe_split(labeled, val_frac=0.2, seed="split1")
+        .select("doc_id", "component", "split")
+        .orderBy("doc_id")
+    )
+
+
 # -- X14: within-document repetition (RefinedWeb/Gopher repetition rules) ----
 # Multi-line text synthesized relationally (a repeated title line, a unique
 # md5 line, a footer), run through the real explode/groupBy operator; the

@@ -138,3 +138,27 @@ def chunk_documents(
         (F.col("chunk_id") == 0)
         | (F.col("n_tokens") - overlap >= F.lit(min_tokens))
     )
+
+
+def leakage_safe_split(
+    labeled_docs: DataFrame,
+    val_frac: float = 0.1,
+    component_col: str = "component",
+    seed: str = "split1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates: the split
+    hash is taken on the DEDUP COMPONENT (from
+    ``components.dedup_clusters``), not the document, so every member of
+    a near-dup cluster lands on the same side of the boundary. Splitting
+    by doc hash — the naive approach — puts ~2 x val_frac x dup_rate of
+    each cluster pair across the line, which is exactly the eval
+    contamination the dedup pass existed to prevent.
+
+    Same deterministic md5 recipe as ``sample_hash``: a component's fate
+    is a pure function of (component, seed) — stable across runs,
+    re-partitions, and corpus growth that doesn't merge clusters."""
+    u = sample_hash(component_col, seed)
+    return labeled_docs.withColumn(
+        out_col, F.when(u < F.lit(float(val_frac)), F.lit("val")).otherwise(F.lit("train"))
+    )

@@ -103,3 +103,27 @@ def test_sample_hash_is_uniformish(spark):
     df = spark.range(0, 20000).select(sample_hash(F.col("id"), "u").alias("h"))
     row = df.agg(F.avg("h"), F.min("h"), F.max("h")).collect()[0]
     assert abs(row[0] - 0.5) < 0.02 and row[1] >= 0.0 and row[2] < 1.0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from hepcrawl_spark.operators.components import dedup_clusters
+    from hepcrawl_spark.operators.scrub import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    # pairs chain 0-1-2, 10-11, rest singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    labeled = dedup_clusters(pairs, docs)
+    out = leakage_safe_split(labeled, val_frac=0.3).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    # no component straddles the boundary
+    assert all(len(v) == 1 for v in by_comp.values())
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "val"}  # both sides populated at 30%
+    # determinism
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(labeled, val_frac=0.3).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
