@@ -3892,6 +3892,338 @@ def f5v_hindawi_golden(spark, sf):
     )
 
 
+# -- X33: C4 heuristic filters (Raffel et al. 2020 §2.2) ----------------------
+# Deterministic line-structured variants per doc_id%5: clean 3-sentence page /
+# +javascript boilerplate line (line dropped, page keeps) / 2 sentences only
+# (fails min-sentences) / +lorem ipsum (page drop) / +code line with braces
+# (page drop). Sentences are real corpus words so the line rules see real
+# text. All counts cast BIGINT on both sides (driver hash is type-sensitive).
+@_q(
+    "x33_c4_filters",
+    """WITH t AS (
+      SELECT doc_id,
+        list_transform([0, 1, 2], i ->
+          coalesce(array_to_string(list_slice(
+            regexp_split_to_array(trim(text), '\\s+'), i*6 + 1, i*6 + 6),
+            ' '), '') || ' fin.') AS sents
+      FROM documents
+    ), v AS (
+      SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+        WHEN 0 THEN array_to_string(sents, chr(10))
+        WHEN 1 THEN array_to_string(sents, chr(10)) || chr(10) ||
+                    'Please enable JavaScript to continue viewing.'
+        WHEN 2 THEN sents[1] || chr(10) || sents[2]
+        WHEN 3 THEN array_to_string(sents, chr(10)) || chr(10) ||
+                    'lorem ipsum dolor sit amet.'
+        ELSE array_to_string(sents, chr(10)) || chr(10) ||
+             'var f = function() { return 1; }'
+      END AS text FROM t
+    ), w AS (
+      SELECT doc_id, text,
+        list_filter(string_split(text, chr(10)),
+                    l -> length(trim(l)) > 0) AS lines
+      FROM v
+    ), k AS (
+      SELECT doc_id, text, lines,
+        list_filter(lines, l ->
+          regexp_matches(trim(l), '[.!?”"'']$')
+          AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+          AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM w
+    )
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))
+           AS BIGINT) AS n_sentences,
+      contains(lower(text), 'lorem ipsum') AS has_lorem,
+      (contains(text, '{') OR contains(text, '}')) AS has_brace,
+      md5(array_to_string(kept, chr(10))) AS clean_md5,
+      (len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3
+       AND NOT contains(lower(text), 'lorem ipsum')
+       AND NOT (contains(text, '{') OR contains(text, '}'))
+       AND len(kept) > 0) AS passes
+    FROM k ORDER BY doc_id""",
+)
+def x33_c4_filters(spark, sf):
+    words = F.split(F.trim(F.col("text")), r"\s+")
+
+    def sent(i: int):
+        return F.concat(
+            F.array_join(F.slice(words, i * 6 + 1, 6), " "), F.lit(" fin.")
+        )
+
+    three = F.concat_ws("\n", sent(0), sent(1), sent(2))
+    shaped = _docs(spark, sf).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, three)
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                three,
+                F.lit("\nPlease enable JavaScript to continue viewing."),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.concat_ws("\n", sent(0), sent(1)))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(three, F.lit("\nlorem ipsum dolor sit amet.")),
+        )
+        .otherwise(
+            F.concat(three, F.lit("\nvar f = function() { return 1; }"))
+        )
+        .alias("text"),
+    )
+    out = X.c4_rules(shaped)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        F.md5(F.encode("clean_text", "UTF-8")).alias("clean_md5"),
+        "passes",
+    ).orderBy("doc_id")
+
+
+# -- X34: recrawl priority from capture history (Cho & Garcia-Molina 2003) ---
+# Multi-capture history synthesized from pages: 2 + doc_id%4 hourly captures,
+# content version bumps every 1 + doc_id%3 captures. The operator counts
+# consecutive-digest changes per url and emits exact-integer change rates
+# (ppm) — the frontier's re-fetch-fastest-movers key.
+@_q(
+    "x34_recrawl_priority",
+    _CTE_PREFIX
+    + """, caps0 AS (
+      SELECT url, warc_ts, text, doc_id,
+             unnest(range(0, 2 + doc_id % 4)) AS i
+      FROM pages
+    ), caps AS (
+      SELECT url, warc_ts + to_hours(i) AS ts,
+             md5(text || ':' || CAST(i // (1 + doc_id % 3) AS VARCHAR)) AS h
+      FROM caps0
+    ), m AS (
+      SELECT url, ts, h,
+        CASE WHEN lag(h) OVER w IS NOT NULL AND h <> lag(h) OVER w
+             THEN 1 ELSE 0 END AS chg
+      FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts, h)
+    )
+    SELECT url, count(*) AS n_captures,
+      CAST(sum(chg) AS BIGINT) AS n_changes,
+      CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_s,
+      CAST(sum(chg) AS BIGINT) * 1000000
+        // greatest(count(*) - 1, 1) AS change_rate_ppm,
+      CAST(sum(chg) AS BIGINT) * 86400000000
+        // greatest(CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+                    AS BIGINT), 1) AS changes_per_day_ppm
+    FROM m GROUP BY url ORDER BY url""",
+)
+def x34_recrawl_priority(spark, sf):
+    from hepcrawl_spark.operators.recrawl import capture_changes
+
+    pages = _pages(spark, sf)
+    caps = (
+        pages.select(
+            "url",
+            "warc_ts",
+            "text",
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), 1 + F.col("doc_id") % 4)
+            ).alias("i"),
+        )
+        .select(
+            "url",
+            (
+                F.col("warc_ts")
+                + F.make_interval(hours=F.col("i").cast("int"))
+            ).alias("ts"),
+            F.md5(
+                F.encode(
+                    F.concat(
+                        "text",
+                        F.lit(":"),
+                        F.expr("i DIV (1 + doc_id % 3)").cast("string"),
+                    ),
+                    "UTF-8",
+                )
+            ).alias("content_md5"),
+        )
+    )
+    return capture_changes(
+        caps, url_col="url", ts_col="ts", hash_col="content_md5"
+    ).orderBy("url")
+
+
+# -- X35: gap sessionization over the events stream ---------------------------
+# The classic mark-starts-then-running-sum two-window form; both windows
+# share ONE shuffle on user_id. 30-minute gap.
+@_q(
+    "x35_sessionize",
+    """WITH m AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+             THEN 1 ELSE 0 END AS nw
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+        sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM m
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      count(*) AS n_events,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+        AS duration_s
+    FROM s GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx""",
+)
+def x35_sessionize(spark, sf):
+    from hepcrawl_spark.streaming.events import sessionize
+
+    return sessionize(
+        _events(spark, sf), key_col="user_id", ts_col="ts", gap_s=1800
+    ).orderBy("user_id", "session_idx")
+
+
+# -- X36: Unicode NFC + control-char cleanup ----------------------------------
+# Decomposed accents (e + U+0301) and stray C0 bytes appended per doc_id%4;
+# the cleaned text must hash identically to DuckDB's nfc_normalize + strip.
+# This is the digest-hygiene pass run before every dedup fingerprint.
+@_q(
+    "x36_unicode_nfc",
+    """WITH v AS (
+      SELECT doc_id,
+        text || CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN ''
+          WHEN 1 THEN ' Cafe' || chr(769)
+          WHEN 2 THEN ' No' || chr(776) || 'el'
+          ELSE ' ctl' || chr(7) || 'x'
+        END AS raw
+      FROM documents
+    ), c AS (
+      SELECT doc_id, raw,
+        regexp_replace(nfc_normalize(raw),
+          '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g') AS cleaned
+      FROM v
+    )
+    SELECT doc_id, md5(cleaned) AS nfc_md5,
+      CAST(length(cleaned) AS BIGINT) AS n_chars_nfc,
+      (cleaned <> raw) AS changed
+    FROM c ORDER BY doc_id""",
+)
+def x36_unicode_nfc(spark, sf):
+    from hepcrawl_spark.functions.text import unicode_clean
+
+    raw = F.concat(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" Cafe\u0301"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" No\u0308el"))
+        .otherwise(F.lit(" ctl\x07x")),
+    )
+    v = _docs(spark, sf).select("doc_id", raw.alias("raw"))
+    c = v.withColumn("cleaned", unicode_clean("raw"))
+    return c.select(
+        "doc_id",
+        F.md5(F.encode("cleaned", "UTF-8")).alias("nfc_md5"),
+        F.length("cleaned").cast("long").alias("n_chars_nfc"),
+        (F.col("cleaned") != F.col("raw")).alias("changed"),
+    ).orderBy("doc_id")
+
+
+# -- X37: UT1-style URL blocklist gate ----------------------------------------
+# Hosts synthesized with subdomain depth (cdn. / bare / static.img.); the
+# blocklist holds the 4 sources ending in 0 or 5 (suffix block takes out all
+# their subdomains) plus one exact deep host. Gate = two broadcast joins,
+# zero corpus shuffles.
+@_q(
+    "x37_url_blocklist",
+    """WITH u AS (
+      SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+        WHEN 0 THEN 'cdn.' || source || '.example.org'
+        WHEN 1 THEN source || '.example.org'
+        ELSE 'static.img.' || source || '.example.org'
+      END AS host FROM documents
+    ), bl AS (
+      SELECT DISTINCT source || '.example.org' AS entry
+      FROM documents WHERE regexp_matches(source, '[05]$')
+      UNION
+      SELECT 'static.img.src1.example.org'
+    )
+    SELECT doc_id, host FROM u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bl
+      WHERE u.host = bl.entry OR u.host LIKE '%.' || bl.entry)
+    ORDER BY doc_id""",
+)
+def x37_url_blocklist(spark, sf):
+    from hepcrawl_spark.operators.filters import blocklist_gate
+
+    docs = _docs(spark, sf)
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("cdn."), "source", F.lit(".example.org")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat("source", F.lit(".example.org")),
+        )
+        .otherwise(
+            F.concat(F.lit("static.img."), "source", F.lit(".example.org"))
+        )
+        .alias("host"),
+    )
+    bl = (
+        docs.filter(F.col("source").rlike("[05]$"))
+        .select(F.concat("source", F.lit(".example.org")).alias("entry"))
+        .distinct()
+        .union(
+            spark.range(1).select(
+                F.lit("static.img.src1.example.org").alias("entry")
+            )
+        )
+    )
+    return blocklist_gate(urls, bl).select("doc_id", "host").orderBy("doc_id")
+
+
+# -- X38: per-host quality cap (domain balancing) -----------------------------
+# Keep the 10 largest docs per source host — the anti-over-representation
+# cut applied to the training mix after quality scoring. One shuffle on the
+# key; rank survives into the output for auditability.
+@_q(
+    "x38_host_cap",
+    """SELECT doc_id, source, n_chars, key_rank FROM (
+      SELECT doc_id, source, n_chars,
+        CAST(row_number() OVER (
+          PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT)
+          AS key_rank
+      FROM documents) t
+    WHERE key_rank <= 10
+    ORDER BY source, key_rank""",
+)
+def x38_host_cap(spark, sf):
+    from hepcrawl_spark.operators.scrub import cap_per_key
+
+    return (
+        cap_per_key(
+            _docs(spark, sf),
+            key_col="source",
+            order_col="n_chars",
+            id_col="doc_id",
+            k=10,
+        )
+        .select("doc_id", "source", "n_chars", "key_rank")
+        .orderBy("source", "key_rank")
+    )
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed

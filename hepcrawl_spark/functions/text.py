@@ -26,6 +26,7 @@ from __future__ import annotations
 import re
 from itertools import groupby
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -234,3 +235,46 @@ def range_as_string_py(years) -> str:
         ys = [y for _, y in grp]
         out.append(f"{ys[0]}-{ys[-1]}" if len(ys) > 1 else str(ys[0]))
     return ", ".join(out)
+
+
+# -- Unicode hygiene (beyond ref: web text arrives NFD/NFC-mixed with stray
+# control bytes; normalizing before hashing is what makes exact/near dedup
+# digests meaningful across crawls) ------------------------------------------
+
+# C0 controls except \t \n \r, plus DEL — the bytes html_to_text can leak
+# from malformed markup and that break downstream tokenizers.
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def strip_controls(col: Column | str) -> Column:
+    """Remove C0 control characters (keeping tab/newline/CR). JVM regexp —
+    stays in codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _CONTROL_RE, "")
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (unicodedata) — built lazily so the
+    pandas_udf registers against the active session.
+
+    NFC (canonical composition) is the right form for dedup digests:
+    'e' + U+0301 and U+00E9 are the same text and must hash the same.
+    Spark has no built-in normalizer, so this is one of the documented
+    Python islands: Arrow in, ``str.normalize`` on the pandas block
+    (vectorized in the interpreter), Arrow out."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return _nfc
+
+
+def unicode_clean(col: Column | str) -> Column:
+    """NFC-normalize then strip control characters: the canonical cleanup
+    applied before any digest/fingerprint so byte-level encoding noise
+    (decomposed accents, stray C0 bytes) cannot split a dedup cluster."""
+    c = F.col(col) if isinstance(col, str) else col
+    return strip_controls(nfc_normalize_udf()(c))

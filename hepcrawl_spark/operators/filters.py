@@ -76,3 +76,53 @@ def split_by_open_access(
         flagged.filter(F.col("_needs_pdf")).drop("_needs_pdf"),
         flagged.filter(~F.col("_needs_pdf")).drop("_needs_pdf"),
     )
+
+
+def host_suffixes(host_col: Column | str, max_labels: int = 8) -> Column:
+    """All domain suffixes of a host, most-specific first: ``a.b.c`` ->
+    ``[a.b.c, b.c, c]``. Pure array expression (split + transform + slice)
+    so the suffix chain is built JVM-side with no Python and no explode
+    until the caller asks for one."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    labels = F.split(F.lower(h), r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), F.least(n - 1, F.lit(max_labels - 1))),
+        lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+    )
+
+
+def blocklist_gate(
+    urls: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    entry_col: str = "entry",
+) -> DataFrame:
+    """UT1-style domain blocklist filter: a URL is blocked when its host
+    equals a blocklist entry OR is a subdomain of one (suffix match on
+    label boundaries — ``ads.example.org`` matches entry ``example.org``
+    but ``notexample.org`` does not).
+
+    Plan shape for 100 TB: explode the (short, bounded) suffix chain of
+    each host, LEFT SEMI join against the blocklist to find blocked ids,
+    then LEFT ANTI the input against that. The blocklist is a curated
+    list (UT1 is ~4 M lines, a few MB) — always broadcast, so the whole
+    gate is two broadcast joins and ZERO shuffles of the corpus.
+    """
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(entry_col)).alias("_bl_entry")).distinct()
+    )
+    sfx = urls.select(
+        F.lower(F.col(host_col)).alias("_h"),
+        F.explode(host_suffixes(host_col)).alias("_sfx"),
+    ).distinct()
+    blocked_hosts = (
+        sfx.join(bl, sfx["_sfx"] == bl["_bl_entry"], "left_semi")
+        .select(F.col("_h").alias("_blocked_host"))
+        .distinct()
+    )
+    return urls.join(
+        F.broadcast(blocked_hosts),
+        F.lower(F.col(host_col)) == F.col("_blocked_host"),
+        "left_anti",
+    )

@@ -23,7 +23,7 @@ shuffles key on small ids, never the text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # conservative, precision-first patterns (public-corpus convention): a
@@ -161,4 +161,29 @@ def leakage_safe_split(
     u = sample_hash(component_col, seed)
     return labeled_docs.withColumn(
         out_col, F.when(u < F.lit(float(val_frac)), F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str = "host",
+    order_col: str = "quality",
+    id_col: str = "doc_id",
+    k: int = 100,
+    descending: bool = True,
+) -> DataFrame:
+    """Domain balancing: keep at most ``k`` rows per key, best-first by
+    ``order_col`` (ties broken by ``id_col`` so the cut is deterministic).
+
+    The anti-over-representation step every web corpus mix applies after
+    quality scoring — without it a handful of mega-hosts dominate the
+    training mix. One shuffle on the key; rank + filter stays in codegen.
+    The per-row rank is returned (``key_rank``) so callers can audit how
+    deep into each host the cap cut.
+    """
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(key_col).orderBy(oc, F.col(id_col).asc())
+    return (
+        df.withColumn("key_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("key_rank") <= k)
     )

@@ -503,3 +503,56 @@ def host_quality_rollup(
         )
     )
     return out
+
+
+def c4_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 line/page heuristic filter set (Raffel et al. 2020 §2.2, the
+    cleanup that produced C4 from Common Crawl; FineWeb keeps the same
+    rules as its first stage):
+
+    line level — keep a line only if it ends in a terminal punctuation
+    mark, has at least ``min_line_words`` words, and does not mention
+    "javascript" (the cookie/JS-warning boilerplate tell);
+    page level — drop the page if the kept text has fewer than
+    ``min_sentences`` sentences, or the raw page contains "lorem ipsum"
+    or a curly brace (code tell).
+
+    Annotate-then-filter like :func:`gopher_rules`: one row per doc with
+    the counts, per-rule verdicts, the cleaned text (kept lines re-joined)
+    and ``passes``. All JVM higher-order functions over one split of the
+    text — no shuffle, no Python, codegen'd end to end.
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike("[.!?”\"']$")
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{") | c.contains("}")
+    out = docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        F.coalesce(has_lorem, F.lit(False)).alias("has_lorem"),
+        F.coalesce(has_brace, F.lit(False)).alias("has_brace"),
+        clean.alias("clean_text"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & (F.col("n_kept_lines") > 0),
+    )

@@ -21,7 +21,7 @@ long-lived daemon.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -105,3 +105,60 @@ def run_available_now(stream_df: DataFrame, checkpoint: str) -> list:
 
 def _has_aggregate(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key belong to the
+    same session while the inter-event gap stays under ``gap_s`` seconds.
+
+    The classic two-window formulation — mark session starts with lag(),
+    then a running sum of start-marks numbers the sessions — so both
+    windows share ONE shuffle on the key and the whole thing stays in
+    whole-stage codegen. Ties on the timestamp are broken by
+    ``order_tiebreak`` so numbering is deterministic.
+
+    Returns one row per session: key, session_idx (1-based per key),
+    n_events, session_start/session_end (formatted strings per the gate
+    conventions), duration_s.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    marked = events.withColumn(
+        "_new",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.lag(ts_col).over(w))
+                > gap_s
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy(key_col, "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            (
+                F.unix_timestamp(F.max(ts_col))
+                - F.unix_timestamp(F.min(ts_col))
+            ).cast("long").alias("duration_s"),
+        )
+        .withColumn("session_idx", F.col("session_idx").cast("long"))
+    )
