@@ -4224,6 +4224,72 @@ def x38_host_cap(spark, sf):
     )
 
 
+# -- X39: crawler-trap detection (URL-template explosion) ---------------------
+# 80% of each host's urls share one calendar-style template; the detector
+# must flag it (>= 15 urls AND >= 50% of the host's distinct urls) and
+# leave the small /about template alone. Share is exact integer ppm.
+@_q(
+    "x39_trap_detection",
+    """WITH u AS (
+      SELECT source || '.example.org' AS host,
+        CASE WHEN CAST((doc_id // 20) % 10 AS INTEGER) < 8
+          THEN '/cal/' || CAST(2000 + doc_id % 20 AS VARCHAR) || '/' ||
+               CAST(doc_id % 12 AS VARCHAR) || '/item' || CAST(doc_id AS VARCHAR)
+          ELSE '/about/page' || CAST(doc_id % 3 AS VARCHAR)
+        END AS path,
+        doc_id
+      FROM documents
+    ), t AS (
+      SELECT host,
+        regexp_replace(regexp_replace(path, '[0-9a-fA-F]{8,}', 'H', 'g'),
+                       '[0-9]+', 'N', 'g') AS template,
+        'https://' || host || path AS url
+      FROM u
+    ), pt AS (
+      SELECT host, template, count(DISTINCT url) AS n_urls
+      FROM t GROUP BY host, template
+    ), ph AS (
+      SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls
+      FROM pt GROUP BY host
+    )
+    SELECT pt.host, pt.template,
+      CAST(pt.n_urls AS BIGINT) AS n_urls,
+      ph.host_urls,
+      CAST(pt.n_urls AS BIGINT) * 1000000 // ph.host_urls AS share_ppm,
+      (pt.n_urls >= 15 AND
+       CAST(pt.n_urls AS BIGINT) * 1000000 // ph.host_urls >= 500000)
+        AS is_trap
+    FROM pt JOIN ph ON pt.host = ph.host
+    ORDER BY 1, 2""",
+)
+def x39_trap_detection(spark, sf):
+    from hepcrawl_spark.operators.traps import detect_traps
+
+    docs = _docs(spark, sf)
+    host = F.concat("source", F.lit(".example.org"))
+    path = F.when(
+        F.expr("(doc_id DIV 20) % 10") < 8,
+        F.concat(
+            F.lit("/cal/"),
+            (2000 + F.col("doc_id") % 20).cast("string"),
+            F.lit("/"),
+            (F.col("doc_id") % 12).cast("string"),
+            F.lit("/item"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("/about/page"), (F.col("doc_id") % 3).cast("string"))
+    )
+    urls = docs.select(
+        host.alias("host"),
+        path.alias("path"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    return detect_traps(
+        urls, min_urls=15, min_share_ppm=500_000
+    ).orderBy("host", "template")
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed

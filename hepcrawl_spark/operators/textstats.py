@@ -556,3 +556,54 @@ def c4_rules(
         & ~F.col("has_brace")
         & (F.col("n_kept_lines") > 0),
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap repetition/boilerplate
+    tell (highly repetitive or templated pages compress far below prose;
+    random/binary junk compresses above it). Used by CCNet-descendant
+    pipelines as a fast pre-filter before any model-based scoring.
+
+    Python is unavoidable (no JVM-side zlib expression), so this is an
+    Arrow-batched mapInPandas: one C-speed ``zlib.compress`` per row on the
+    already-encoded bytes, no per-row Python expression work. Emits exact
+    integers only (byte counts + ppm integer division) so results are
+    bit-stable and safe to gate on.
+
+    Scale shape: narrow map — no shuffle, runs where the text already
+    lives; output is id + 3 ints, so downstream aggregation is tiny.
+    """
+    import zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("compress_ppm", LongType()),
+        ]
+    )
+    narrowed = docs.select(id_col, text_col)
+
+    def run(batches):
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = raw.str.len()
+            nc = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compress_ppm": (nc * 1_000_000) // nb.clip(lower=1),
+                }
+            )
+
+    return narrowed.mapInPandas(run, schema)

@@ -181,3 +181,58 @@ def test_cap_per_key_keeps_topk_deterministically(spark):
     # best quality (4.0) rows rank first; ties broken by doc_id asc
     h0 = sorted(r.doc_id for r in out if r.host == "h0")
     assert h0 == [4, 8, 14]
+
+
+# -- trap detection -----------------------------------------------------------
+
+def test_url_template_collapses_digits_and_hex(spark):
+    from hepcrawl_spark.operators.traps import url_template
+    df = spark.createDataFrame(
+        [("/cal/2024/01/item9",), ("/s/deadbeef42cafe/p/3",), ("/about",)],
+        "path string",
+    )
+    got = [r.t for r in df.select(url_template("path").alias("t")).collect()]
+    assert got == ["/cal/N/N/itemN", "/s/H/p/N", "/about"]
+
+
+def test_detect_traps_flags_exploding_template(spark):
+    from hepcrawl_spark.operators.traps import detect_traps, trap_gate
+    rows = [("h.ex", "/cal/%d/x" % i, "https://h.ex/cal/%d/x" % i)
+            for i in range(30)]
+    rows += [("h.ex", "/about%d" % i, "https://h.ex/about%d" % i)
+             for i in range(3)]
+    urls = spark.createDataFrame(rows, "host string, path string, url string")
+    traps = detect_traps(urls, min_urls=20, min_share_ppm=500_000)
+    flagged = {(r.host, r.template): r for r in traps.collect()}
+    assert flagged[("h.ex", "/cal/N/x")].is_trap
+    assert not flagged[("h.ex", "/aboutN")].is_trap
+    assert flagged[("h.ex", "/cal/N/x")].share_ppm == 30 * 1_000_000 // 33
+    kept = trap_gate(urls, traps).collect()
+    assert len(kept) == 3 and all("/about" in r.path for r in kept)
+
+
+# -- compression ratio ---------------------------------------------------------
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from hepcrawl_spark.operators.textstats import compression_ratio
+    df = spark.createDataFrame(
+        [(1, "spam " * 400),
+         (2, "A genuinely varied sentence mentioning quarks, hadrons, "
+             "lattices, regularization, and seventeen unrelated concepts "
+             "that keep the entropy respectable for this test." * 3),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[1].compress_ppm < out[2].compress_ppm
+    assert out[1].n_bytes == 2000
+    assert out[3].n_bytes == 0 and out[3].compress_ppm >= 0
+
+
+def test_compression_ratio_is_deterministic(spark):
+    from hepcrawl_spark.operators.textstats import compression_ratio
+    df = spark.createDataFrame([(i, "text %d " % i * 50) for i in range(50)],
+                               "doc_id long, text string")
+    a = sorted(map(tuple, compression_ratio(df).collect()))
+    b = sorted(map(tuple, compression_ratio(df.repartition(7)).collect()))
+    assert a == b
