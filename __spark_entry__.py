@@ -4290,6 +4290,50 @@ def x39_trap_detection(spark, sf):
     ).orderBy("host", "template")
 
 
+# -- X40: one-pass table profiler ---------------------------------------------
+# Per-column nulls/cardinality/range in ONE aggregation pass; lang gets
+# nulls injected (nullif 'de') so the null path is actually exercised.
+# Min/max compare on the native type, then render as strings.
+@_q(
+    "x40_profile",
+    """WITH t AS (
+      SELECT doc_id, nullif(lang, 'de') AS lang, source, n_chars
+      FROM documents
+    )
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+      CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_nulls,
+      count(DISTINCT doc_id) AS n_distinct,
+      CAST(min(doc_id) AS VARCHAR) AS min_s,
+      CAST(max(doc_id) AS VARCHAR) AS max_s
+    FROM t
+    UNION ALL
+    SELECT 'lang', count(*),
+      CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      count(DISTINCT lang), min(lang), max(lang) FROM t
+    UNION ALL
+    SELECT 'source', count(*),
+      CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      count(DISTINCT source), min(source), max(source) FROM t
+    UNION ALL
+    SELECT 'n_chars', count(*),
+      CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      count(DISTINCT n_chars),
+      CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM t
+    ORDER BY col_name""",
+)
+def x40_profile(spark, sf):
+    from hepcrawl_spark.operators.profile import profile_table
+
+    t = _docs(spark, sf).select(
+        "doc_id",
+        F.nullif("lang", F.lit("de")).alias("lang"),
+        "source",
+        "n_chars",
+    )
+    return profile_table(t).orderBy("col_name")
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed

@@ -162,3 +162,106 @@ def sessionize(
         )
         .withColumn("session_idx", F.col("session_idx").cast("long"))
     )
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("duration_s", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming gap sessionization — the stateful twin of :func:`sessionize`.
+
+    ``applyInPandasWithState`` keeps one open session per key: events inside
+    the gap extend it, a larger gap (or an event-time timeout once the
+    watermark passes last_event + gap) closes it and emits the session row.
+    State is three ints per key; the watermark bounds both state retention
+    and late-data admission. Closed sessions are append-mode output, so the
+    sink sees each session exactly once.
+    """
+    import pandas as pd  # local: keep module importable without pandas
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        uid = key[0]
+
+        def close(start_us, last_us, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "duration_s": [(last_us - start_us) // 1_000_000],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield close(start_us, last_us, n)
+            return
+
+        ts_us = []
+        for pdf in pdf_iter:
+            # explicit unit cast: Arrow hands the block over as
+            # datetime64[ns]; int64 of that would be nanoseconds
+            ts_us.extend(
+                int(v)
+                for v in pdf[ts_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .tolist()
+            )
+        ts_us.sort()
+        cur = state.get if state.exists else None
+        for t in ts_us:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                yield close(*cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # event-time timeout: fire once the watermark passes last + gap.
+            # Spark requires the timeout to sit strictly beyond the current
+            # watermark, so clamp when processing late backlog.
+            wm_ms = state.getCurrentWatermarkMs()
+            to_ms = max(cur[1] // 1000 + gap_s * 1000, wm_ms + 1)
+            state.setTimeoutTimestamp(to_ms)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

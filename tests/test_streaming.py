@@ -138,3 +138,67 @@ def test_incremental_harvest_with_cross_restart_dedup(spark, tmp_path):
     urls = sorted(r["url"] for r in out)
     assert urls == ["https://h/a", "https://h/b", "https://h/c"]
     assert all(r["n_tokens"] == 3 for r in out)
+
+
+def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
+    """Stateful streaming sessionization: a mid-batch gap closes a session
+    immediately; an open session survives the first availableNow run in
+    state and is closed by the event-time timeout once a later batch
+    advances the watermark."""
+    import datetime as dt
+
+    from hepcrawl_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        sessionize_stream,
+        stream_events,
+    )
+
+    ev_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(rows):
+        spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(seconds=s), uid, "e", 0.0, None)
+                for i, (uid, s) in enumerate(rows)
+            ],
+            EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    def drain():
+        q = (
+            sessionize_stream(
+                stream_events(spark, ev_dir), gap_s=600, watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    # batch 1: user 7 has two sessions separated by a 2000 s gap (the first
+    # closes mid-batch); the second stays open in state
+    write_chunk([(7, 0), (7, 60), (7, 120), (7, 2120), (7, 2180)])
+    out1 = drain()
+    assert len(out1) == 1
+    assert out1[0].n_events == 3 and out1[0].duration_s == 120
+
+    # batch 2: a much later event for another user pushes the watermark far
+    # past user 7's open session -> its event-time timeout fires and closes it
+    write_chunk([(9, 90000)])
+    out2 = drain()
+    closed = {(r.user_id, r.n_events, r.duration_s) for r in out2}
+    assert (7, 2, 60) in closed
+
+    # batch 3: drain once more; user 9's session closes via timeout too
+    write_chunk([(9, 180000)])
+    out3 = drain()
+    assert (9, 1, 0) in {(r.user_id, r.n_events, r.duration_s) for r in out3}

@@ -236,3 +236,30 @@ def test_compression_ratio_is_deterministic(spark):
     a = sorted(map(tuple, compression_ratio(df).collect()))
     b = sorted(map(tuple, compression_ratio(df.repartition(7)).collect()))
     assert a == b
+
+
+# -- table profiler -----------------------------------------------------------
+
+def test_profile_table_exact(spark):
+    from hepcrawl_spark.operators.profile import profile_table
+    df = spark.createDataFrame(
+        [(1, "a", 9), (2, "a", 10), (3, None, 100), (4, "b", None)],
+        "id long, s string, v long",
+    )
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    # native-type comparison: 9 < 10 < 100 numerically, not lexically
+    assert out["v"].min_s == "9" and out["v"].max_s == "100"
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 3
+
+
+def test_profile_table_approx_single_pass(spark):
+    from hepcrawl_spark.operators.profile import profile_table
+    df = spark.createDataFrame([(i, "x%d" % (i % 5)) for i in range(100)],
+                               "id long, s string")
+    prof = profile_table(df, exact=False)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # HLL path: no countDistinct expansion
+    out = {r.col_name: r for r in prof.collect()}
+    assert abs(out["s"].n_distinct - 5) <= 1
