@@ -198,6 +198,51 @@ def main() -> None:
         ),
     )
 
+    # round-5 webtext additions over the same prose table: C4 line rules,
+    # zlib compression ratio (Arrow mapInPandas), and trap detection over
+    # the crawl corpus's url table
+    # C4 line rules need sentence-shaped lines; the prose table is one-line
+    # word salad (pass frac would be a signal-free 0.0), so time the shaped
+    # gate query instead and keep the kept-line fraction as the stat
+    c4_shaped = entry.queries()["x33_c4_filters"]
+    extras["c4_kept_line_frac"] = timed(
+        "c4_rules",
+        lambda: round(
+            c4_shaped(spark, sf_dir)
+            .agg((F.sum("n_kept_lines") / F.sum("n_lines")).alias("f"))
+            .collect()[0][0],
+            4,
+        ),
+    )
+    extras["compress_ppm_mean"] = timed(
+        "compression_ratio",
+        lambda: int(
+            X.compression_ratio(prose)
+            .agg(F.avg("compress_ppm"))
+            .collect()[0][0]
+        ),
+    )
+    from hepcrawl_spark.operators.traps import detect_traps
+
+    extras["trap_templates"] = timed(
+        "trap_detection",
+        lambda: detect_traps(
+            docs_big.select(
+                F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias("host"),
+                F.concat(
+                    F.lit("/cal/"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit("/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("path"),
+                F.col("doc_id").cast("string").alias("url"),
+            ),
+            min_urls=20,
+        )
+        .filter("is_trap")
+        .count(),
+    )
+
     # DSIR end-to-end (fit both hashed-ngram models + narrow-fold scoring +
     # Gumbel top-k) over the prose table: 3 of the 20 sources play the
     # target domain, the rest are the raw pool

@@ -32,6 +32,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--input-format", default="pages", choices=["pages", "warc"],
                    help="pages: (url, text); warc: (warc_id, payload) binary archives")
     p.add_argument("--output", required=True, help="output dir (corpus + audit tables)")
+    p.add_argument("--blocklist", default=None,
+                   help="parquet of domain entries; drop urls on or under them")
+    p.add_argument("--c4-filter", action="store_true",
+                   help="apply the C4 line/page rules; text becomes the kept lines")
+    p.add_argument("--nfc-clean", action="store_true",
+                   help="NFC-normalize + strip control chars before any digest")
+    p.add_argument("--host-cap", type=int, default=0,
+                   help=">0: keep at most this many docs per host (largest first)")
     p.add_argument("--min-quality-pass", action="store_true",
                    help="drop documents failing the Gopher rule set")
     p.add_argument("--max-dup-line-frac", type=float, default=None,
@@ -58,7 +66,10 @@ def run(spark, args) -> dict:
         verify_jaccard_pairs,
     )
     from hepcrawl_spark.operators.components import dedup_clusters
-    from hepcrawl_spark.operators.scrub import chunk_documents, sample_hash
+    from hepcrawl_spark.functions.text import unicode_clean
+    from hepcrawl_spark.functions.urls import host_of
+    from hepcrawl_spark.operators.filters import blocklist_gate
+    from hepcrawl_spark.operators.scrub import cap_per_key, chunk_documents, sample_hash
     from hepcrawl_spark.operators.textstats import gopher_rules, repetition_features
     from hepcrawl_spark.sources.warc import explode_warc_records
 
@@ -92,6 +103,36 @@ def run(spark, args) -> dict:
             F.xxhash64("url").alias("doc_id"), "url", "text"
         )
     docs = _stage(docs.filter(F.length(F.trim("text")) > 0), "input_docs")
+
+    if args.blocklist:
+        bl = spark.read.parquet(args.blocklist)
+        docs = _stage(
+            blocklist_gate(
+                docs.withColumn("host", host_of("url")), bl
+            ).drop("host"),
+            "after_blocklist",
+        )
+    if args.nfc_clean:
+        # digest hygiene BEFORE any dedup hash: decomposed accents and stray
+        # control bytes must not split a dedup cluster. Narrow map, no stage
+        # count of its own.
+        docs = docs.withColumn("text", unicode_clean("text"))
+    if args.c4_filter:
+        from hepcrawl_spark.operators.textstats import c4_rules
+
+        c4 = c4_rules(docs)
+        c4.drop("clean_text").write.mode("overwrite").parquet(
+            f"{args.output}/audit_c4"
+        )
+        docs = _stage(
+            docs.drop("text").join(
+                c4.filter("passes").select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            ),
+            "after_c4",
+        )
 
     # quality gates (annotate-then-filter: rejected rows stay auditable)
     if args.min_quality_pass:
@@ -140,6 +181,20 @@ def run(spark, args) -> dict:
         bench = spark.read.parquet(args.benchmarks)
         docs = _stage(
             decontaminate(docs, bench, threshold=0.5), "after_decontamination"
+        )
+
+    if args.host_cap > 0:
+        docs = _stage(
+            cap_per_key(
+                docs.withColumn("host", host_of("url")).withColumn(
+                    "_sz", F.length("text")
+                ),
+                key_col="host",
+                order_col="_sz",
+                id_col="doc_id",
+                k=args.host_cap,
+            ).drop("host", "_sz", "key_rank"),
+            "after_host_cap",
         )
 
     if args.sample_rate < 1.0:

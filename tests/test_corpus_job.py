@@ -118,3 +118,49 @@ def test_corpus_job_pages_with_decontamination_and_sampling(spark, tmp_path):
         "--sample-rate", "0.5",
     ]))
     assert audit2 == audit
+
+
+def test_corpus_job_blocklist_c4_nfc_hostcap(spark, tmp_path):
+    """The round-5 stages end to end: domain blocklist (suffix match), C4
+    line/page rules (text becomes the kept lines), NFC digest hygiene, and
+    the per-host cap."""
+    good = ("This line is a complete well formed sentence.\n"
+            "Here is another full sentence with many words.\n"
+            "A third sentence keeps the page above threshold.")
+
+    rows = []
+    # blocked.org host: 3 docs (one on a subdomain) -> all dropped
+    for i in range(2):
+        rows.append((f"https://blocked.org/{i}", good + f"\nTail sentence number {i} ends here."))
+    rows.append(("https://ads.blocked.org/x", good))
+    # kept.org: 6 clean docs (host cap 4 keeps the largest 4); one doc gets
+    # a decomposed accent so NFC must not split it from itself on re-run
+    for i in range(6):
+        extra = "\nExtra closing sentence adds length number %d." % i * (i + 1)
+        rows.append((f"https://kept.org/{i}", good + extra + " Café."))
+    # one lorem-ipsum page on kept.org -> C4 page drop
+    rows.append(("https://kept.org/lorem", good + "\nlorem ipsum dolor sit amet."))
+
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(pages_dir)
+    bl_dir = str(tmp_path / "bl")
+    spark.createDataFrame([("blocked.org",)], "entry string").write.parquet(bl_dir)
+    out = str(tmp_path / "corpus")
+
+    audit = run(spark, parse_args([
+        "--input", pages_dir, "--input-format", "pages", "--output", out,
+        "--blocklist", bl_dir, "--c4-filter", "--nfc-clean",
+        "--host-cap", "4", "--neardup-threshold", "0.99",
+    ]))
+    assert audit["input_docs"] == 10
+    assert audit["after_blocklist"] == 7          # blocked.org + subdomain gone
+    assert audit["after_c4"] == 6                 # lorem page dropped
+    assert audit["after_host_cap"] == 4           # largest 4 of kept.org
+    corpus = spark.read.parquet(f"{out}/corpus").collect()
+    assert len(corpus) == 4
+    for r in corpus:
+        assert "lorem" not in r.text
+        assert "Café" in r.text                   # NFC-composed, line kept
+    # audit table for rejected C4 pages exists with verdicts
+    c4a = spark.read.parquet(f"{out}/audit_c4")
+    assert c4a.filter("has_lorem").count() == 1
