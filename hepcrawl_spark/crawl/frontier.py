@@ -165,6 +165,24 @@ class CrawlConfig:
                                      # (the edge log needs parent urls).
                                      # 0 = off (seed/FIFO priorities).
     rank_iterations: int = 5         # power iterations per refresh
+    trap_detect_every: int = 0       # >0: every K-th iteration, run the
+                                     # URL-template explosion detector
+                                     # (operators/traps) over the seen set
+                                     # and drop frontier rows whose
+                                     # (host, template) is flagged — the
+                                     # calendar/session-id trap guard an
+                                     # open-web frontier needs. The flagged
+                                     # set is collected to a LITERAL
+                                     # broadcast (tiny, bounded) so the
+                                     # per-iteration gate join never
+                                     # re-executes the detection subplan
+                                     # (the adaptive-salt lesson). Not
+                                     # persisted: resume recomputes at the
+                                     # next refresh from url_seen, which IS
+                                     # durable. 0 = off (historical).
+    trap_min_urls: int = 100         # template flag floor (distinct urls)
+    trap_min_share_ppm: int = 500_000  # ...and min share of the host's urls
+    trap_max_templates: int = 10_000  # bound on the collected flag set
     max_attempts: int = 1            # P6 retry/backoff in the live loop:
                                      # a gated url whose fetch FAILS (no
                                      # corpus row) re-enters the frontier
@@ -479,6 +497,7 @@ def run_crawl(
     start_iter = 0
     frontier = url_seen = None
     host_used = None  # (host, used) budget-consumption state
+    trap_tpls = None  # collected (host, template) trap flags (trap_detect_every)
     resumed_seen_size = 0
     if resume:
         m = read_manifest(state_dir)
@@ -1042,6 +1061,45 @@ def run_crawl(
                 .withColumn("priority", F.coalesce(F.col("_r"), F.col("priority")))
                 .drop("_r")
             )
+
+        if (
+            cfg.trap_detect_every > 0
+            and (it + 1) % cfg.trap_detect_every == 0
+        ):
+            from ..functions.urls import host_of, path_of
+            from ..operators.traps import detect_traps
+
+            flagged = (
+                detect_traps(
+                    new_seen.select(
+                        "url",
+                        host_of("url").alias("host"),
+                        path_of("url").alias("path"),
+                    ),
+                    min_urls=cfg.trap_min_urls,
+                    min_share_ppm=cfg.trap_min_share_ppm,
+                )
+                .filter("is_trap")
+                .orderBy(F.col("n_urls").desc(), "host", "template")
+                .limit(cfg.trap_max_templates)
+                .select("host", "template")
+            )
+            rows = flagged.collect()
+            trap_tpls = (
+                spark.createDataFrame(rows, "host string, template string")
+                if rows
+                else None
+            )
+        if trap_tpls is not None:
+            from ..functions.urls import path_of
+            from ..operators.traps import trap_gate
+
+            next_frontier = trap_gate(
+                next_frontier.withColumn("_path", path_of("url")),
+                trap_tpls,
+                host_col="host",
+                path_col="_path",
+            ).drop("_path")
 
         if cfg.host_budget is not None:
             # carry-over: fold this wave's per-host fetch counts into the

@@ -86,9 +86,13 @@ def trap_gate(
     """Drop frontier rows whose (host, template) is a flagged trap.
 
     The trap table is per-template (tiny) — broadcast anti-join; the
-    frontier never shuffles."""
+    frontier never shuffles. Accepts either the full detector output
+    (``is_trap`` filtered here) or an already-flagged (host, template)
+    table."""
+    if "is_trap" in traps.columns:
+        traps = traps.filter("is_trap")
     t = F.broadcast(
-        traps.filter("is_trap").select(
+        traps.select(
             F.col("host").alias("_t_host"), F.col("template").alias("_t_tpl")
         )
     )

@@ -866,3 +866,40 @@ def test_host_budget_charges_distinct_urls_on_multicapture_corpus(spark, tmp_pat
     # budget 2 at one url/wave: exactly 2 distinct urls crawl (a count(*)
     # charge would bill the first url twice and stop after one)
     assert len(fetched) == 2
+
+
+def test_trap_detect_gates_exploding_template(spark, tmp_path):
+    """trap_detect_every: after wave 1 the /cal/N/view template (15 of the
+    25 fetched urls on the host) is flagged; every remaining /cal url is
+    dropped from the frontier, so the crawl ends having fetched all /art
+    pages and ONLY wave-1's share of the trap."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        rows.append((f"https://t.ex/art{i}", t, None, f"article {i}", "en", "t.ex"))
+    for i in range(60):
+        rows.append((f"https://t.ex/cal/{i}/view", t, None, f"cal {i}", "en", "t.ex"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string, host string"
+    )
+    seeds = pages.select(
+        "url", "host", F.lit(1.0).alias("priority"),
+        F.col("warc_ts").alias("discovered_ts"),
+    )
+    sd = str(tmp_path / "traps")
+    res = run_crawl(
+        spark, pages, seeds,
+        CrawlConfig(
+            max_iterations=6, max_per_host=25, salt=1, salt_mode="static",
+            state_dir=sd, trap_detect_every=1, trap_min_urls=15,
+            trap_min_share_ppm=500_000,
+        ),
+    )
+    seen = _final_seen(spark, sd)
+    # all articles fetched ('a' sorts before 'c': wave 1 = 10 art + 15 cal)
+    assert all(f"https://t.ex/art{i}" in seen for i in range(10))
+    # the trap stopped expanding after detection: only wave-1's cal urls
+    assert sum(1 for u in seen if "/cal/" in u) == 15
+    assert res.total_fetched == 25
