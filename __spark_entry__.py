@@ -4334,6 +4334,38 @@ def x40_profile(spark, sf):
     return profile_table(t).orderBy("col_name")
 
 
+# -- C24: dedup canonicalization with tracking-param stripping ---------------
+# The same article shared through N utm_ campaigns must collapse to ONE
+# url_seen key: scheme/host lowercased, default port stripped, params
+# sorted, click-tracking params dropped. Predictive oracle (the expected
+# canonical string is constructed from the same recipe).
+@_q(
+    "c24_tracking_canonical",
+    """SELECT doc_id,
+      'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+        || '?a=1&z=2' AS canon
+    FROM documents ORDER BY doc_id""",
+)
+def c24_tracking_canonical(spark, sf):
+    from hepcrawl_spark.functions.urls import canonicalize_url_dedup
+
+    raw = F.concat(
+        F.lit("https://"),
+        F.upper("source"),
+        F.lit(".EXAMPLE.org:443/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_campaign=c"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&z=2&a=1&gclid=g"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        _docs(spark, sf)
+        .select("doc_id", canonicalize_url_dedup(raw).alias("canon"))
+        .orderBy("doc_id")
+    )
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed

@@ -278,3 +278,35 @@ def unicode_clean(col: Column | str) -> Column:
     (decomposed accents, stray C0 bytes) cannot split a dedup cluster."""
     c = F.col(col) if isinstance(col, str) else col
     return strip_controls(nfc_normalize_udf()(c))
+
+
+def fix_double_utf8_udf():
+    """Arrow-batched mojibake repair (ftfy's core trick, stdlib-only):
+    text that was UTF-8 bytes mis-decoded as latin-1/cp1252 shows as
+    'Ã©'-style runs. Re-encode via latin-1 (exact byte inverse) and try a
+    strict UTF-8 decode — if it round-trips AND actually changes the
+    string, the repaired text is returned; anything else passes through
+    untouched (strictness means clean text can never be corrupted)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def fix_one(s: str) -> str:
+        try:
+            b = s.encode("latin-1")
+        except UnicodeEncodeError:
+            # cp1252 superset: curly quotes etc. land outside latin-1
+            try:
+                b = s.encode("cp1252")
+            except UnicodeEncodeError:
+                return s
+        try:
+            out = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return s
+        return out
+
+    @pandas_udf(StringType())
+    def _fix(s: pd.Series) -> pd.Series:
+        return s.map(fix_one, na_action="ignore")
+
+    return _fix

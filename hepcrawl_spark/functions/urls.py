@@ -34,12 +34,30 @@ from pyspark.sql.types import StringType
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
+# click-tracking query parameters that never change the resource: the
+# classic crawl-dedup leak (the same article under 50 utm_ campaign urls).
+# Prefix match for utm_*, exact match for the ad-click ids.
+_TRACKING_EXACT = {
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "yclid", "dclid",
+    "_hsenc", "_hsmi", "mkt_tok", "oly_anon_id", "oly_enc_id",
+}
+_TRACKING_PREFIXES = ("utm_",)
+
+
+def _is_tracking(key: str) -> bool:
+    k = key.lower()
+    return k in _TRACKING_EXACT or k.startswith(_TRACKING_PREFIXES)
+
 # characters we never re-encode in paths (RFC 3986 sub-delims + unreserved)
 _PATH_SAFE = "/;:@&=+$,!*'()-._~"
 
 
-def canonicalize_url_py(url: str) -> str:
-    """Pure-Python canonicalizer (single value). See module contract."""
+def canonicalize_url_py(url: str, strip_tracking: bool = False) -> str:
+    """Pure-Python canonicalizer (single value). See module contract.
+
+    ``strip_tracking=True`` additionally drops utm_*/gclid-style
+    click-tracking parameters (rule 8) — the same page shared through N
+    campaigns must collapse to ONE url_seen entry."""
     if url is None:
         return None
     url = url.strip()
@@ -56,6 +74,8 @@ def canonicalize_url_py(url: str) -> str:
     # normalize percent-encoding: decode then re-encode with uppercase escapes
     path = quote(unquote(path), safe=_PATH_SAFE) or "/"
     params = parse_qsl(query, keep_blank_values=True)
+    if strip_tracking:
+        params = [(k, v) for k, v in params if not _is_tracking(k)]
     query = urlencode(sorted(params)) if params else ""
     return urlunsplit((scheme, netloc, path, query, ""))
 
@@ -64,6 +84,16 @@ def canonicalize_url_py(url: str) -> str:
 def canonicalize_url(urls: pd.Series) -> pd.Series:
     """Vectorized canonicalizer: Series[str] -> Series[str]."""
     return urls.map(canonicalize_url_py, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def canonicalize_url_dedup(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer for DEDUP keys: the module contract plus
+    tracking-parameter stripping (rule 8)."""
+    return urls.map(
+        lambda u: canonicalize_url_py(u, strip_tracking=True),
+        na_action="ignore",
+    )
 
 
 def host_of(url: Column | str) -> Column:

@@ -263,3 +263,37 @@ def test_profile_table_approx_single_pass(spark):
     assert "Expand" not in plan  # HLL path: no countDistinct expansion
     out = {r.col_name: r for r in prof.collect()}
     assert abs(out["s"].n_distinct - 5) <= 1
+
+
+# -- dedup canonicalization + mojibake ------------------------------------
+
+def test_canonicalize_url_dedup_strips_tracking(spark):
+    from hepcrawl_spark.functions.urls import canonicalize_url_dedup
+    df = spark.createDataFrame(
+        [(1, "https://A.Org:443/x?utm_source=tw&b=2&a=1&fbclid=f"),
+         (2, "https://a.org/x?a=1&b=2"),
+         (3, "https://a.org/only-tracking?UTM_MEDIUM=email")],
+        "id long, url string",
+    )
+    got = {r.id: r.c for r in df.select("id", canonicalize_url_dedup("url").alias("c")).collect()}
+    assert got[1] == "https://a.org/x?a=1&b=2"
+    assert got[1] == got[2]
+    assert got[3] == "https://a.org/only-tracking"
+
+
+def test_fix_double_utf8(spark):
+    from hepcrawl_spark.functions.text import fix_double_utf8_udf
+    broken = "Café".encode("utf-8").decode("latin-1")        # 'CafÃ©'
+    curly = "it’s".encode("utf-8").decode("cp1252")      # cp1252 path
+    df = spark.createDataFrame(
+        [(1, broken), (2, "already clean é and 日本語"), (3, curly),
+         (4, "plain ascii."), (5, None)],
+        "id long, t string",
+    )
+    fix = fix_double_utf8_udf()
+    got = {r.id: r.c for r in df.select("id", fix("t").alias("c")).collect()}
+    assert got[1] == "Café"
+    assert got[2] == "already clean é and 日本語"   # never corrupted
+    assert got[3] == "it’s"
+    assert got[4] == "plain ascii."
+    assert got[5] is None
