@@ -4366,6 +4366,65 @@ def c24_tracking_canonical(spark, sf):
     )
 
 
+def _hits_oracle(k: int = 4) -> str:
+    """Unrolled HITS iterations as CTEs (the x13 pagerank pattern).
+
+    Single-reference chain on purpose: DuckDB 1.0 re-executes a CTE per
+    reference (MATERIALIZED included), so a separate two-reference L1-total
+    CTE makes the unrolled chain exponential (measured 0.7/2.4/38 s at
+    k=1/2/3); ``sum() OVER ()`` folds the total into the same pass."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, k + 1):
+        steps.append(f"""a{i} AS (
+        SELECT n.node,
+               COALESCE(r.raw, 0) / sum(COALESCE(r.raw, 0)) OVER () AS v
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(h.v) AS raw
+            FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+        ) r ON r.node = n.node),
+    h{i} AS (
+        SELECT n.node,
+               COALESCE(r.raw, 0) / sum(COALESCE(r.raw, 0)) OVER () AS v
+        FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, sum(a.v) AS raw
+            FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+        ) r ON r.node = n.node)""")
+        prev_h = f"h{i}"
+    return f"""WITH eraw AS (
+        SELECT CAST(doc_id AS BIGINT) AS src, CAST(doc_id - 1 AS BIGINT) AS dst
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(doc_id - 15 AS BIGINT)
+        FROM documents WHERE doc_id % 40 = 7 AND doc_id >= 15
+    ),
+    e AS (SELECT DISTINCT src, dst FROM eraw),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT node, 1.0/cnt.n AS v FROM nodes, cnt),
+    {", ".join(steps)}
+    SELECT n.node,
+      CAST(round(h.v * 1e6) AS BIGINT) AS hub_ppm,
+      CAST(round(a.v * 1e6) AS BIGINT) AS auth_ppm
+    FROM nodes n JOIN h{k} h ON h.node = n.node JOIN a{k} a ON a.node = n.node
+    ORDER BY n.node"""
+
+
+# -- X41: HITS hubs and authorities (Kleinberg 1999) --------------------------
+# The directional complement to x13 pagerank on the same link graph; ppm
+# integers for hash stability, fixed 4 iterations, L1 normalization.
+@_q("x41_hits", _hits_oracle())
+def x41_hits(spark, sf):
+    from hepcrawl_spark.operators.linkrank import hits
+
+    r = hits(_cc_edges(spark, sf), iterations=4)
+    return r.select(
+        "node",
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_ppm"),
+        F.round(F.col("authority") * 1e6).cast("long").alias("auth_ppm"),
+    ).orderBy("node")
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed

@@ -98,3 +98,63 @@ def rank_seeds(
         .withColumn("priority", F.coalesce(F.col("_rank"), F.col("priority")))
         .drop("_rank")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) — the directional
+    complement to :func:`pagerank` for crawl scheduling: a high-authority
+    url is worth fetching, a high-hub url is worth re-parsing for
+    outlinks.
+
+    Per iteration: authority(v) = Σ hub(u) over u→v, L1-normalized;
+    then hub(u) = Σ authority(v) over u→v, L1-normalized (L1 keeps the
+    arithmetic a plain sum — same convergence, oracle-friendlier than an
+    L2 sqrt). Fixed iteration count, deterministic. Returns
+    (node, hub, authority), each column summing to 1.
+
+    Scale shape: the deduped edge set is checkpointed once and reused;
+    each half-step is one join + one groupBy shuffle on the edge key it
+    aggregates — identical plan family to pagerank.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ed = e.localCheckpoint(eager=True)
+    hub = nodes.select("node", F.lit(1.0 / n).alias("v"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            ed.join(hub, ed["src"] == hub["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("v").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node", (F.coalesce(F.col("raw"), F.lit(0.0)) / a_tot).alias("v")
+        )
+        h_raw = (
+            ed.join(auth, ed["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("v").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node", (F.coalesce(F.col("raw"), F.lit(0.0)) / h_tot).alias("v")
+        )
+        # truncate lineage each round like pagerank (plans grow linearly)
+        hub = hub.localCheckpoint(eager=True)
+        auth = auth.localCheckpoint(eager=True)
+    return (
+        nodes.join(hub.select("node", F.col("v").alias("hub")), "node")
+        .join(auth.select("node", F.col("v").alias("authority")), "node")
+    )

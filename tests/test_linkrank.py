@@ -53,3 +53,25 @@ def test_tol_early_stop_and_seed_ranking(spark):
     out = {r["url"]: r["priority"] for r in rank_seeds(seeds, ranks).collect()}
     assert out[0] > 0 and out[0] != 0.5   # ranked url got link priority
     assert out[7] == 0.5                  # unranked keeps its own
+
+
+def test_hits_bipartite_hubs_vs_authorities(spark):
+    """On a pure bipartite graph h1,h2 -> a1,a2,a3 the sources are pure
+    hubs (authority 0) and the sinks pure authorities (hub 0); a2 is
+    pointed at by both hubs so it dominates."""
+    from hepcrawl_spark.operators.linkrank import hits
+
+    e = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a2"), ("h2", "a3")],
+        "src string, dst string",
+    )
+    out = {r.node: r for r in hits(e, iterations=3).collect()}
+    assert abs(sum(r.hub for r in out.values()) - 1.0) < 1e-9
+    assert abs(sum(r.authority for r in out.values()) - 1.0) < 1e-9
+    for a in ("a1", "a2", "a3"):
+        assert out[a].hub == 0.0
+    for h in ("h1", "h2"):
+        assert out[h].authority == 0.0
+    assert out["a2"].authority > out["a1"].authority
+    assert abs(out["a1"].authority - out["a3"].authority) < 1e-12
+    assert abs(out["h1"].hub - 0.5) < 1e-9
