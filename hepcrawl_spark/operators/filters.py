@@ -86,8 +86,12 @@ def host_suffixes(host_col: Column | str, max_labels: int = 8) -> Column:
     h = F.col(host_col) if isinstance(host_col, str) else host_col
     labels = F.split(F.lower(h), r"\.")
     n = F.size(labels)
+    # keep the SHORTEST max_labels suffixes: blocklist entries are mostly
+    # 2-3-label registrable domains, so a deep subdomain chain must still
+    # emit them — truncating from the long end would let a 9+-label host
+    # evade a 2-label blocklist entry
     return F.transform(
-        F.sequence(F.lit(0), F.least(n - 1, F.lit(max_labels - 1))),
+        F.sequence(F.greatest(n - max_labels, F.lit(0)), n - 1),
         lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
     )
 

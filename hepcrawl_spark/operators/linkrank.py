@@ -133,10 +133,15 @@ def hits(
     hub = nodes.select("node", F.lit(1.0 / n).alias("v"))
     auth = None
     for _ in range(iterations):
+        # checkpoint each RAW aggregate (the shuffle output) exactly once:
+        # the scalar total, the normalized view, and the next half-step all
+        # read the materialized rows instead of re-running the join+groupBy
+        # (also truncates lineage, like pagerank)
         a_raw = (
             ed.join(hub, ed["src"] == hub["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("v").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         a_tot = a_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
         auth = nodes.join(a_raw, "node", "left").select(
@@ -146,14 +151,12 @@ def hits(
             ed.join(auth, ed["dst"] == auth["node"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("v").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         h_tot = h_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
         hub = nodes.join(h_raw, "node", "left").select(
             "node", (F.coalesce(F.col("raw"), F.lit(0.0)) / h_tot).alias("v")
         )
-        # truncate lineage each round like pagerank (plans grow linearly)
-        hub = hub.localCheckpoint(eager=True)
-        auth = auth.localCheckpoint(eager=True)
     return (
         nodes.join(hub.select("node", F.col("v").alias("hub")), "node")
         .join(auth.select("node", F.col("v").alias("authority")), "node")

@@ -33,6 +33,13 @@ def profile_table(
     comparison), ordered by column name.
     """
     cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    for c in cols:
+        # names are spliced into a selectExpr stack() — reject the two
+        # characters that would break out of the string/backtick quoting
+        if "'" in c or "`" in c:
+            raise ValueError(f"unsupported character in column name: {c!r}")
     distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:

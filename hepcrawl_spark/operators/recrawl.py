@@ -78,20 +78,25 @@ def recrawl_schedule(
 ) -> DataFrame:
     """Turn change statistics into a frontier priority band.
 
-    Fast movers (top ``top_frac_fast`` by changes/day) get band 0 (re-crawl
-    first); pages never observed changing get band 2 (re-crawl last);
-    everything else band 1. Pure rank window over the tiny stats table.
+    Fast movers (above the ``1 - top_frac_fast`` quantile of changes/day)
+    get band 0 (re-crawl first); pages never observed changing get band 2
+    (re-crawl last); everything else band 1.
+
+    Scale shape: the stats table is one row per URL — billions at web
+    scale — so the threshold is an exact distributed quantile
+    (``approxQuantile`` with zero relative error = one aggregation pass),
+    NOT a global row_number window (which would sort every row in one
+    task). Ties at the threshold all land in band 0 (strictly-above
+    comparison keeps the band a pure column predicate).
     """
-    w = Window.orderBy(
-        F.col("changes_per_day_ppm").desc(), F.col(url_col)
-    )
-    n = stats.count()
-    cut = max(1, int(n * top_frac_fast))
-    return stats.withColumn("_rk", F.row_number().over(w)).select(
+    cut = stats.stat.approxQuantile(
+        "changes_per_day_ppm", [max(0.0, min(1.0, 1.0 - top_frac_fast))], 0.0
+    )[0]
+    return stats.select(
         url_col,
         "changes_per_day_ppm",
         F.when(F.col("n_changes") == 0, F.lit(2))
-        .when(F.col("_rk") <= cut, F.lit(0))
+        .when(F.col("changes_per_day_ppm") > F.lit(cut), F.lit(0))
         .otherwise(F.lit(1))
         .alias("recrawl_band"),
     )

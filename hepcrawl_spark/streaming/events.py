@@ -164,23 +164,27 @@ def sessionize(
     )
 
 
-SESSION_OUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
-        StructField("n_events", LongType()),
-        StructField("duration_s", LongType()),
-    ]
-)
-
-_SESSION_STATE_SCHEMA = StructType(
-    [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n", LongType()),
-    ]
-)
+def _session_schemas(events: DataFrame, key_col: str):
+    """Output/state schemas built from the ACTUAL key column type, so any
+    key (long user ids, string hosts) works and keeps its name."""
+    key_field = events.schema[key_col]
+    out = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("duration_s", LongType()),
+        ]
+    )
+    state = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    return out, state
 
 
 def sessionize_stream(
@@ -198,19 +202,29 @@ def sessionize_stream(
     State is three ints per key; the watermark bounds both state retention
     and late-data admission. Closed sessions are append-mode output, so the
     sink sees each session exactly once.
+
+    Out-of-order handling: each batch sweep-merges its (sorted) events
+    together with the open session, so an admissible late event either
+    extends the open session backwards (within the gap) or closes as its
+    own earlier session — it is never silently absorbed. The one
+    divergence from the batch twin: a session closed at a microbatch
+    boundary cannot be reopened by an even-later event in a later batch
+    (it would emit as a separate session) — the standard streaming
+    trade-off; shrink it by widening the watermark.
     """
     import pandas as pd  # local: keep module importable without pandas
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_s * 1_000_000
+    out_schema, state_schema = _session_schemas(events, key_col)
 
     def fn(key, pdf_iter, state: GroupState):
-        uid = key[0]
+        kv = key[0]
 
         def close(start_us, last_us, n):
             return pd.DataFrame(
                 {
-                    "user_id": [uid],
+                    key_col: [kv],
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
@@ -224,27 +238,31 @@ def sessionize_stream(
             yield close(start_us, last_us, n)
             return
 
-        ts_us = []
+        # proto-sessions: each event is (t, t, 1); the open session joins
+        # the sweep as (start, last, n); sort by start and merge on gap
+        protos = []
         for pdf in pdf_iter:
             # explicit unit cast: Arrow hands the block over as
             # datetime64[ns]; int64 of that would be nanoseconds
-            ts_us.extend(
-                int(v)
+            protos.extend(
+                (int(v), int(v), 1)
                 for v in pdf[ts_col]
                 .astype("datetime64[us]")
                 .astype("int64")
                 .tolist()
             )
-        ts_us.sort()
-        cur = state.get if state.exists else None
-        for t in ts_us:
+        if state.exists:
+            protos.append(tuple(state.get))
+        protos.sort()
+        cur = None
+        for p in protos:
             if cur is None:
-                cur = (t, t, 1)
-            elif t - cur[1] > gap_us:
+                cur = p
+            elif p[0] - cur[1] > gap_us:
                 yield close(*cur)
-                cur = (t, t, 1)
+                cur = p
             else:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                cur = (cur[0], max(cur[1], p[1]), cur[2] + p[2])
         if cur is not None:
             state.update(cur)
             # event-time timeout: fire once the watermark passes last + gap.
@@ -259,8 +277,8 @@ def sessionize_stream(
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
-            SESSION_OUT_SCHEMA,
-            _SESSION_STATE_SCHEMA,
+            out_schema,
+            state_schema,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )

@@ -120,7 +120,10 @@ def run(spark, args) -> dict:
     if args.c4_filter:
         from hepcrawl_spark.operators.textstats import c4_rules
 
-        c4 = c4_rules(docs)
+        # persist the verdicts: the audit write AND the join both consume
+        # them, and the upstream chain includes the NFC pandas-UDF pass —
+        # without the persist that pass would run twice over the corpus
+        c4 = c4_rules(docs).persist()
         c4.drop("clean_text").write.mode("overwrite").parquet(
             f"{args.output}/audit_c4"
         )
@@ -133,6 +136,7 @@ def run(spark, args) -> dict:
             ),
             "after_c4",
         )
+        c4.unpersist()
 
     # quality gates (annotate-then-filter: rejected rows stay auditable)
     if args.min_quality_pass:

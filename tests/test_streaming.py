@@ -202,3 +202,64 @@ def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
     write_chunk([(9, 180000)])
     out3 = drain()
     assert (9, 1, 0) in {(r.user_id, r.n_events, r.duration_s) for r in out3}
+
+
+def test_sessionize_stream_late_event_not_absorbed(spark, tmp_path):
+    """A late event arriving in a later batch, EARLIER than the open
+    session's start and outside the gap, must close as its own session —
+    not be silently absorbed into the open one."""
+    import datetime as dt
+
+    from hepcrawl_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        sessionize_stream,
+        stream_events,
+    )
+
+    ev_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(rows):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(seconds=s), uid, "e", 0.0, None)
+             for i, (uid, s) in enumerate(rows)],
+            EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    def drain():
+        q = (
+            sessionize_stream(
+                stream_events(spark, ev_dir), gap_s=600, watermark="6 hours"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    # batch 1: open session for user 7 at +7200 s
+    write_chunk([(7, 7200), (7, 7260)])
+    drain()
+    # batch 2 (within the 6 h watermark): a LATE event at +0 s — 2 h before
+    # the open session, far outside the 600 s gap -> its own session
+    write_chunk([(7, 0)])
+    out = drain()
+    closed = {(r.n_events, r.duration_s) for r in out}
+    assert (1, 0) in closed        # the late lone event
+    # the open session was not corrupted: nothing merged it backwards
+    assert all(r.duration_s <= 60 for r in out)
+
+    # batch 3: a late event INSIDE the gap below the open session start
+    # extends it backwards instead of splitting
+    write_chunk([(7, 6900)])
+    write_chunk([(9, 90000)])      # watermark push -> timeout closes user 7
+    out = drain()
+    assert (3, 360) in {(r.n_events, r.duration_s) for r in out}

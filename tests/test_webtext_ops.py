@@ -297,3 +297,14 @@ def test_fix_double_utf8(spark):
     assert got[3] == "it’s"
     assert got[4] == "plain ascii."
     assert got[5] is None
+
+
+def test_host_suffixes_keeps_registrable_domain_on_deep_chains(spark):
+    deep = ".".join("a%d" % i for i in range(10)) + ".example.org"
+    df = spark.createDataFrame([(deep,)], "host string")
+    chain = df.select(host_suffixes("host", max_labels=8).alias("s")).collect()[0].s
+    assert len(chain) == 8
+    assert "example.org" in chain and "org" in chain  # short end survives
+    bl = spark.createDataFrame([("example.org",)], "entry string")
+    urls = spark.createDataFrame([(1, deep)], "doc_id long, host string")
+    assert blocklist_gate(urls, bl).count() == 0
