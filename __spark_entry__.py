@@ -4425,6 +4425,124 @@ def x41_hits(spark, sf):
     ).orderBy("node")
 
 
+# -- X42: robots meta directives + nofollow links ------------------------------
+# Four page shapes: plain / meta-noindex / meta-nofollow with one
+# rel=nofollow link / both directives & no links. Effective follow count
+# honors BOTH the per-link rel and the page-level meta.
+@_q(
+    "x42_meta_robots",
+    """SELECT doc_id,
+      (CAST(doc_id % 4 AS INTEGER) IN (1, 3)) AS noindex,
+      (CAST(doc_id % 4 AS INTEGER) IN (2, 3)) AS nofollow_meta,
+      CAST(CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+           AS BIGINT) AS n_links,
+      CAST(CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END
+           AS BIGINT) AS n_follow
+    FROM documents ORDER BY doc_id""",
+)
+def x42_meta_robots(spark, sf):
+    from hepcrawl_spark.functions.html import (
+        meta_robots_nofollow,
+        meta_robots_noindex,
+    )
+    from hepcrawl_spark.operators.anchors import extract_anchors
+
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.lit('<html><a href="https://x/1">one</a></html>'))
+        .when(
+            m == 1,
+            F.lit(
+                '<html><meta name="robots" content="noindex">'
+                '<a href="https://x/1">one</a></html>'
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                '<html><meta content="nofollow" name=robots>'
+                '<a rel="nofollow" href="https://x/1">one</a>'
+                '<a href="https://x/2">two</a></html>'
+            ),
+        )
+        .otherwise(
+            F.lit('<html><meta name="robots" content="noindex, nofollow"></html>')
+        )
+    )
+    pages = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h.example.org/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    flags = pages.select(
+        "doc_id",
+        "url",
+        meta_robots_noindex("html").alias("noindex"),
+        meta_robots_nofollow("html").alias("nofollow_meta"),
+    )
+    per_doc = (
+        extract_anchors(pages)
+        .groupBy(F.col("src_url").alias("url"))
+        .agg(
+            F.count("*").alias("_n_links"),
+            F.sum((~F.col("nofollow")).cast("long")).alias("_n_rel_follow"),
+        )
+    )
+    return (
+        flags.join(per_doc, "url", "left")
+        .select(
+            "doc_id",
+            "noindex",
+            "nofollow_meta",
+            F.coalesce("_n_links", F.lit(0)).cast("long").alias("n_links"),
+            F.when(F.col("nofollow_meta"), F.lit(0))
+            .otherwise(F.coalesce("_n_rel_follow", F.lit(0)))
+            .cast("long")
+            .alias("n_follow"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- X43: sequence packing (concatenate-then-cut at capacity boundaries) -----
+# One synthetic chunk per doc (token counts decoupled from text so the
+# gate is pure integer arithmetic), packed per source bucket in doc order
+# at capacity 256; bin = start_offset DIV capacity.
+@_q(
+    "x43_pack_chunks",
+    """WITH c AS (
+      SELECT doc_id, source, CAST(doc_id % 97 + 5 AS BIGINT) AS n_tokens
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+      FROM c
+    )
+    SELECT doc_id, source AS bucket, n_tokens, start_offset,
+           start_offset // 256 AS bin
+    FROM w ORDER BY doc_id""",
+)
+def x43_pack_chunks(spark, sf):
+    from hepcrawl_spark.operators.scrub import pack_chunks
+
+    chunks = _docs(spark, sf).select(
+        "doc_id",
+        "source",
+        F.lit(0).alias("chunk_id"),
+        (F.col("doc_id") % 97 + 5).cast("long").alias("n_tokens"),
+    )
+    return (
+        pack_chunks(chunks, capacity=256, bucket_col="source")
+        .select("doc_id", "bucket", "n_tokens", "start_offset", "bin")
+        .orderBy("doc_id")
+    )
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed

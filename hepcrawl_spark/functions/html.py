@@ -26,7 +26,8 @@ from html.parser import HTMLParser
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 _SKIP = {"script", "style", "noscript", "template"}
@@ -136,3 +137,31 @@ def html_to_text(
             yield out
 
     return pages.mapInPandas(run, out_schema)
+
+
+# robots meta directives (page-level crawler obligations): a compliant
+# crawler must not INDEX a noindex page (drop it from the corpus/search
+# index — still fetchable) and must not FOLLOW links off a nofollow page.
+# Lookahead regexes keep the attribute ORDER free (name before or after
+# content); Java regex only — the oracle twins synthesize fixed-order tags.
+_META_ROBOTS_NOINDEX_RE = (
+    r'(?is)<meta\b(?=[^>]*\bname\s*=\s*["\']?robots)'
+    r'(?=[^>]*\bcontent\s*=\s*["\'][^"\'>]*noindex)[^>]*>'
+)
+_META_ROBOTS_NOFOLLOW_RE = (
+    r'(?is)<meta\b(?=[^>]*\bname\s*=\s*["\']?robots)'
+    r'(?=[^>]*\bcontent\s*=\s*["\'][^"\'>]*nofollow)[^>]*>'
+)
+
+
+def meta_robots_noindex(html_col) -> "Column":
+    """True when the page carries <meta name=robots content=...noindex...>."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return c.cast("string").rlike(_META_ROBOTS_NOINDEX_RE)
+
+
+def meta_robots_nofollow(html_col) -> "Column":
+    """True when the page carries <meta name=robots content=...nofollow...>
+    (every outlink on the page must be treated as rel=nofollow)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return c.cast("string").rlike(_META_ROBOTS_NOFOLLOW_RE)

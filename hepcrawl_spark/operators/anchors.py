@@ -38,8 +38,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# group 1 = href, group 2 = inner html of the anchor element
-_ANCHOR_RE = r'(?is)<a\s[^>]*href="([^"]+)"[^>]*>(.*?)</a>'
+# group 1 = attrs before href, group 2 = href, group 3 = attrs after
+# href, group 4 = inner html — all four regexp_extract_all passes walk the
+# SAME match sequence, so the arrays zip positionally
+_ANCHOR_RE = r'(?is)<a\s([^>]*?)href="([^"]+)"([^>]*)>(.*?)</a>'
+
+# rel="nofollow" (also rel='ugc nofollow' etc.) anywhere in the tag attrs
+_NOFOLLOW_RE = r'(?i)rel\s*=\s*["\']?[^"\'>]*nofollow'
 
 
 def _clean(texts: Column) -> Column:
@@ -67,19 +72,31 @@ def extract_anchors(
     anchors) survive as '' so callers can filter or keep them.
     """
     html = F.col(html_col).cast("string")
-    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1)
-    texts = _clean(F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2))
+    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2)
+    texts = _clean(F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 4))
+    pre = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1)
+    post = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 3)
     return (
         pages.select(
             F.col(url_col).alias("src_url"),
             F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))).alias("src_host"),
-            F.explode(F.arrays_zip(hrefs.alias("t"), texts.alias("a"))).alias("z"),
+            F.explode(
+                F.arrays_zip(
+                    hrefs.alias("t"),
+                    texts.alias("a"),
+                    pre.alias("p1"),
+                    post.alias("p2"),
+                )
+            ).alias("z"),
         )
         .select(
             "src_url",
             "src_host",
             F.col("z.t").alias("target_url"),
             F.col("z.a").alias("anchor_text"),
+            F.concat(F.col("z.p1"), F.col("z.p2"))
+            .rlike(_NOFOLLOW_RE)
+            .alias("nofollow"),
         )
         .filter(F.col("target_url").isNotNull() & (F.col("target_url") != ""))
     )

@@ -187,3 +187,44 @@ def cap_per_key(
         df.withColumn("key_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("key_rank") <= k)
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int = 2048,
+    bucket_col: str | None = None,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing for training batches: lay chunks head-to-tail in a
+    deterministic order and cut the token stream at ``capacity``
+    boundaries; a chunk's ``bin`` is the interval containing its START
+    offset (GPT-style concatenate-then-cut, at chunk granularity).
+
+    Packing needs locality, not a global order, so the stream is
+    partitioned into buckets (an explicit ``bucket_col``, or a hash of the
+    doc id) and packed per bucket — embarrassingly parallel, one shuffle,
+    no single-task global window. Bins can overrun a boundary by at most
+    one chunk; with fixed-size chunks feeding fixed-capacity bins the
+    overrun is bounded by chunk_tokens/capacity.
+
+    Output adds ``bucket``, ``start_offset`` (tokens before this chunk in
+    its bucket stream) and ``bin`` — all exact integers.
+    """
+    b = (
+        F.col(bucket_col)
+        if bucket_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    )
+    df = chunks.withColumn("bucket", b)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc(), F.col(chunk_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return df.withColumn(
+        "start_offset", (cum - F.col(tokens_col)).cast("long")
+    ).withColumn("bin", F.expr(f"start_offset DIV {int(capacity)}"))

@@ -308,3 +308,56 @@ def test_host_suffixes_keeps_registrable_domain_on_deep_chains(spark):
     bl = spark.createDataFrame([("example.org",)], "entry string")
     urls = spark.createDataFrame([(1, deep)], "doc_id long, host string")
     assert blocklist_gate(urls, bl).count() == 0
+
+
+# -- meta robots + nofollow + packing ----------------------------------------
+
+def test_extract_anchors_nofollow_flag(spark):
+    from hepcrawl_spark.operators.anchors import extract_anchors
+    html = ('<html><a rel="nofollow" href="https://t/1">a</a>'
+            '<a href="https://t/2" rel="ugc nofollow">b</a>'
+            '<a href="https://t/3">c</a></html>')
+    pages = spark.createDataFrame([("https://s.org/p", html)], "url string, html string")
+    got = {r.target_url: r.nofollow for r in extract_anchors(pages).collect()}
+    assert got == {"https://t/1": True, "https://t/2": True, "https://t/3": False}
+
+
+def test_meta_robots_attribute_order_free(spark):
+    from hepcrawl_spark.functions.html import (
+        meta_robots_nofollow, meta_robots_noindex,
+    )
+    df = spark.createDataFrame(
+        [(1, '<meta name="robots" content="noindex, nofollow">'),
+         (2, '<meta content="NOINDEX" name=robots>'),
+         (3, '<meta name="viewport" content="noindex">'),
+         (4, '<meta name="googlebot" content="nofollow">')],
+        "id long, html string",
+    )
+    out = {r.id: (r.ni, r.nf) for r in df.select(
+        "id",
+        meta_robots_noindex("html").alias("ni"),
+        meta_robots_nofollow("html").alias("nf"),
+    ).collect()}
+    assert out[1] == (True, True)
+    assert out[2] == (True, False)   # reversed attribute order
+    assert out[3] == (False, False)  # wrong meta name
+    assert out[4] == (False, False)  # googlebot-specific tag is not robots
+
+
+def test_pack_chunks_bins_and_offsets(spark):
+    from hepcrawl_spark.operators.scrub import pack_chunks
+    rows = [(i, 0, "b", 100) for i in range(5)]       # 5 chunks x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, src string, n_tokens long")
+    out = {r.doc_id: r for r in
+           pack_chunks(df, capacity=256, bucket_col="src").collect()}
+    assert [out[i].start_offset for i in range(5)] == [0, 100, 200, 300, 400]
+    assert [out[i].bin for i in range(5)] == [0, 0, 0, 1, 1]
+
+
+def test_pack_chunks_hash_bucketing_deterministic(spark):
+    from hepcrawl_spark.operators.scrub import pack_chunks
+    df = spark.createDataFrame([(i, 0, 7) for i in range(50)],
+                               "doc_id long, chunk_id long, n_tokens long")
+    a = sorted(map(tuple, pack_chunks(df, capacity=64, n_buckets=4).collect()))
+    b = sorted(map(tuple, pack_chunks(df.repartition(5), capacity=64, n_buckets=4).collect()))
+    assert a == b
