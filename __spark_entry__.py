@@ -4543,6 +4543,138 @@ def x43_pack_chunks(spark, sf):
     )
 
 
+# -- X44: SemDeDup-style semantic dedup (earlier-neighbor rule) ----------------
+# Within each coarse bucket (label here; IVF cells at scale) drop any
+# vector with an earlier same-bucket neighbor at cosine >= 0.3 — the
+# order-free, monotone variant of Abbas et al. 2023 (see
+# operators/dedup.py::semantic_dedup). Threshold matches the green x6
+# pair query, so the cosine boundary is already proven engine-stable.
+@_q(
+    "x44_semantic_dedup",
+    """SELECT a.vec_id, NOT EXISTS (
+      SELECT 1 FROM embeddings b
+      WHERE b.label = a.label AND b.vec_id < a.vec_id
+        AND list_cosine_similarity(
+              a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    ) AS kept
+    FROM embeddings a ORDER BY a.vec_id""",
+)
+def x44_semantic_dedup(spark, sf):
+    from hepcrawl_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(_emb(spark, sf), threshold=0.3, bucket_col="label")
+    return out.select("vec_id", "kept").orderBy("vec_id")
+
+
+# -- X45: temperature-based domain mixing (n^tau largest-remainder) ------------
+# Skewed domains from decimal-digit width of doc_id (10 / 90 / 400 docs at
+# sf0.01 — pure integer, engine-independent); 100 seats at tau = 0.5.
+# Allocation is integer-exact (floor(sqrt(n)*1000) weights, DIV/MOD
+# quotas, largest-remainder seats), quota fill by the md5 sampling hash.
+@_q(
+    "x45_temperature_mix",
+    """WITH d AS (
+      SELECT doc_id, 'd' || length(CAST(doc_id AS VARCHAR)) AS domain
+      FROM documents
+    ), cnt AS (
+      SELECT domain, count(*)::BIGINT AS n FROM d GROUP BY 1
+    ), wt AS (
+      SELECT domain, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS w FROM cnt
+    ), tot AS (SELECT sum(w)::BIGINT AS big_w FROM wt),
+    alloc AS (
+      SELECT domain, (100 * w) // big_w AS base, (100 * w) % big_w AS rem
+      FROM wt, tot
+    ), seats AS (
+      SELECT domain, CAST(base + CASE WHEN
+          row_number() OVER (ORDER BY rem DESC, domain ASC)
+            <= 100 - (SELECT sum(base) FROM alloc)
+          THEN 1 ELSE 0 END AS BIGINT) AS budget
+      FROM alloc
+    ), ranked AS (
+      SELECT doc_id, domain,
+        CAST(row_number() OVER (PARTITION BY domain ORDER BY
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'tmix'), 1, 8))::BIGINT
+            ASC, doc_id ASC) AS BIGINT) AS domain_rank
+      FROM d
+    )
+    SELECT r.doc_id, r.domain, s.budget, r.domain_rank
+    FROM ranked r JOIN seats s USING (domain)
+    WHERE r.domain_rank <= s.budget
+    ORDER BY r.doc_id""",
+)
+def x45_temperature_mix(spark, sf):
+    from hepcrawl_spark.operators.mix import temperature_mix
+
+    docs = _docs(spark, sf).withColumn(
+        "domain",
+        F.concat(F.lit("d"), F.length(F.col("doc_id").cast("string")).cast("string")),
+    )
+    out = temperature_mix(docs, 100, domain_col="domain", seed="tmix", tau=0.5)
+    return out.select("doc_id", "domain", "budget", "domain_rank").orderBy("doc_id")
+
+
+# -- X47: hashed-feature batch perceptron (integer-exact learned filter) -------
+# Two batch epochs over md5-hashed unigram+bigram buckets (B = 128),
+# labels +1 for the DSIR target sources / -1 otherwise. All-integer
+# training makes the weights a pure function of the corpus, so the oracle
+# UNROLLS both epochs in SQL: epoch 1 starts from w = 0 (every doc
+# misclassified -> g1 = class-difference counts), epoch 2 updates from
+# docs still misclassified under w1 = g1; final score = (g1 + g2) . counts.
+@_q(
+    "x47_perceptron",
+    f"""WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN source IN ('src0', 'src1', 'src2')
+                  THEN 1 ELSE -1 END AS label,
+             string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, label, u.g AS gram FROM toks, LATERAL unnest(t) AS u(g)
+      UNION ALL
+      SELECT doc_id, label, t[i.i] || ' ' || t[i.i+1] AS gram
+      FROM toks, LATERAL unnest(range(1, len(t))) AS i(i)
+    ), cnt AS (
+      SELECT doc_id, label,
+             (('0x' || substr(md5(gram), 1, 7))::BIGINT) % 128 AS bucket,
+             count(*)::BIGINT AS c
+      FROM grams GROUP BY 1, 2, 3
+    ), g1 AS (
+      SELECT bucket, sum(label * c)::BIGINT AS g FROM cnt GROUP BY 1
+    ), s2 AS (
+      SELECT cnt.doc_id, cnt.label,
+             COALESCE(sum(g1.g * cnt.c), 0)::BIGINT AS s
+      FROM cnt LEFT JOIN g1 USING (bucket) GROUP BY 1, 2
+    ), g2 AS (
+      SELECT cnt.bucket, sum(cnt.label * cnt.c)::BIGINT AS g
+      FROM cnt JOIN s2 ON s2.doc_id = cnt.doc_id AND s2.label * s2.s <= 0
+      GROUP BY 1
+    ), w2 AS (
+      SELECT COALESCE(g1.bucket, g2.bucket) AS bucket,
+             COALESCE(g1.g, 0) + COALESCE(g2.g, 0) AS w
+      FROM g1 FULL JOIN g2 ON g1.bucket = g2.bucket
+    )
+    SELECT cnt.doc_id,
+           CAST(COALESCE(sum(w2.w * cnt.c), 0) AS BIGINT) AS score,
+           COALESCE(sum(w2.w * cnt.c), 0) > 0 AS pred
+    FROM cnt LEFT JOIN w2 USING (bucket)
+    GROUP BY cnt.doc_id ORDER BY cnt.doc_id""",
+)
+def x47_perceptron(spark, sf):
+    from hepcrawl_spark.operators import classifier
+
+    docs = _docs(spark, sf).withColumn(
+        "label",
+        F.when(F.col("source").isin("src0", "src1", "src2"), 1).otherwise(-1),
+    )
+    w = classifier.perceptron_train(docs, num_buckets=128, epochs=2)
+    scored = classifier.perceptron_score(docs, w)
+    return scored.select(
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+        (F.col("score") > 0).alias("pred"),
+    ).orderBy("doc_id")
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed

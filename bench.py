@@ -257,6 +257,46 @@ def main() -> None:
         ).count(),
     )
 
+    # Hashed perceptron: 2-epoch batch train over the prose corpus (labels =
+    # the DSIR target split) + frozen-model scoring pass; stat = training
+    # accuracy (the synthetic sources share vocabulary, so the learned
+    # boundary mostly rides the 85/15 class prior — the bench times the
+    # train+score plumbing, not a claim about synthetic separability)
+    from hepcrawl_spark.operators import classifier as CL
+
+    n_prose = prose.count()
+
+    def _perceptron():
+        labeled = prose.withColumn(
+            "label",
+            F.when(F.col("source").isin("src0", "src1", "src2"), 1).otherwise(-1),
+        )
+        w = CL.perceptron_train(labeled, num_buckets=4096, epochs=2)
+        right = (
+            CL.perceptron_score(labeled, w)
+            .filter(F.col("label") * F.col("score") > 0)
+            .count()
+        )
+        return round(right / max(n_prose, 1), 4)
+
+    extras["perceptron_train_acc"] = timed("perceptron_quality", _perceptron)
+
+    # Temperature mixing: n^0.5 largest-remainder budgets over the
+    # digit-width domains, quota fill by hash rank — two bounded shuffles;
+    # budget = a fifth of the corpus so quotas actually bind
+    from hepcrawl_spark.operators.mix import temperature_mix
+
+    tm_docs = prose.withColumn(
+        "domain",
+        F.concat(F.lit("d"), F.length(F.col("doc_id").cast("string")).cast("string")),
+    )
+    extras["temperature_mix_kept"] = timed(
+        "temperature_mix",
+        lambda: temperature_mix(
+            tm_docs, n_prose // 5, domain_col="domain"
+        ).count(),
+    )
+
     qs = entry.queries()
     for name in ("q1_pricing_summary", "q3_order_revenue", "w1_tumbling_window",
                  "x5_cosine_topk", "p1_politeness_wave", "d1b_crawl_once_bloom"):
@@ -318,6 +358,12 @@ def main() -> None:
     extras["lsh_recall_at_5"] = round(len(lsh & exact) / max(1, len(exact)), 4)
     extras["lsh_scan_frac"] = round(lsh_scan, 4)
     extras["lsh_selectivity_lift"] = round(extras["lsh_recall_at_5"] / lsh_scan, 2)
+
+    # SemDeDup over the embeddings table's label buckets (IVF cells at scale)
+    extras["semantic_dedup_kept"] = timed(
+        "semantic_dedup",
+        lambda: D.semantic_dedup(emb, threshold=0.3).filter("kept").count(),
+    )
 
     n_emb = emb.count()
     n_q = qset.count()

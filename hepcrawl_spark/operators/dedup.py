@@ -674,3 +674,46 @@ def verify_jaccard_pairs(
         .select(left_col, right_col, "jaccard")
     )
     return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each coarse cluster, drop every document that has a semantically
+    near-identical predecessor.
+
+    Decision rule — the *earlier-neighbor* variant: a doc is dropped iff
+    some SAME-BUCKET doc with a smaller id has cosine >= ``threshold``
+    with it. Compared to the paper's keep-one-exemplar-per-group greedy
+    sweep this is (a) order-free and embarrassingly parallel (no sequential
+    scan inside a cluster), (b) monotone — adding documents never
+    resurrects a dropped one, so incremental corpus growth keeps prior
+    decisions stable, and (c) slightly more aggressive: in a chain
+    a~b, b~c, a!~c, greedy keeps {a, c} while this rule keeps {a} when
+    c's cosine to b clears the threshold (b is dropped yet still
+    disqualifies c). For near-duplicate thresholds (>= 0.9) chains are
+    short and the difference is marginal; the aggression errs toward
+    removing training redundancy.
+
+    Scale shape: candidate pairs come from ``embedding_neardup_pairs`` —
+    a per-bucket self-join, where the bucket is whatever coarse structure
+    is available (IVF cell ids from ``similarity.ivf_build`` at production
+    scale, LSH hyperplane signs, or a label column in tests) — so the
+    join is bounded by the largest cluster, never all-pairs. The dropped
+    set is distinct ids only; the final pass is one left join adding a
+    ``kept`` flag (keep the flag rather than filtering so callers can
+    audit removal rates per bucket).
+    """
+    pairs = embedding_neardup_pairs(
+        emb, threshold=threshold, id_col=id_col,
+        vec_col=vec_col, bucket_col=bucket_col,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(
+        dropped.withColumn("_drop", F.lit(True)), id_col, "left"
+    ).withColumn("kept", F.col("_drop").isNull()).drop("_drop")
