@@ -3,8 +3,10 @@ headline workflow beside the crawl fixpoint:
 
     WARC archives (or a pages table) -> record scan -> html -> visible text
     -> Gopher quality rules -> within-doc repetition filter
+    -> learned quality filter (hashed perceptron vs a target seed sample)
     -> cross-corpus paragraph dedup -> MinHash/LSH near-dup clustering
-    -> benchmark decontamination -> token-window chunks -> deterministic mix
+    -> benchmark decontamination -> host cap or n^tau temperature mixing
+    -> token-window chunks -> deterministic mix
 
     spark-submit --py-files hepcrawl_spark.zip jobs/corpus_job.py \
         --input s3://bucket/warc_parquet --input-format warc \
@@ -52,6 +54,22 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help=">0: emit token-window chunks of this size")
     p.add_argument("--sample-rate", type=float, default=1.0,
                    help="deterministic hash-threshold mix sampling rate")
+    p.add_argument("--quality-target", default=None,
+                   help="parquet (doc_id, text) of target-domain seed docs; "
+                        "train a hashed perceptron (target = +1 vs a "
+                        "deterministic corpus sample = -1, the WebText-"
+                        "classifier recipe) and keep docs scoring above "
+                        "--quality-keep-score")
+    p.add_argument("--quality-neg-rate", type=float, default=0.1,
+                   help="hash-sampled fraction of the corpus used as "
+                        "perceptron negatives")
+    p.add_argument("--quality-keep-score", type=int, default=0,
+                   help="keep docs with classifier score > this (integer)")
+    p.add_argument("--temperature-mix-k", type=int, default=0,
+                   help=">0: after all filters keep ~K docs via n^tau "
+                        "per-host largest-remainder budgets")
+    p.add_argument("--temperature-tau", type=float, default=0.5,
+                   help="mixing temperature (1.0 = natural distribution)")
     return p.parse_args(argv)
 
 
@@ -156,6 +174,32 @@ def run(spark, args) -> dict:
         ).select("doc_id")
         docs = _stage(docs.join(keep, "doc_id", "left_semi"), "after_repetition")
 
+    if args.quality_target:
+        # learned quality filter (the WebText-classifier recipe): positives
+        # = the curated target sample, negatives = a deterministic hash
+        # sample of the corpus itself; integer perceptron training is
+        # partitioning-invariant, so the model — and every doc's fate —
+        # is reproducible across re-runs
+        from hepcrawl_spark.operators.classifier import (
+            perceptron_score,
+            perceptron_train,
+        )
+
+        target = spark.read.parquet(args.quality_target)
+        neg = docs.filter(
+            sample_hash("doc_id", "qneg") < F.lit(args.quality_neg_rate)
+        )
+        labeled = target.select("text").withColumn("label", F.lit(1)).unionByName(
+            neg.select("text").withColumn("label", F.lit(-1))
+        )
+        weights = perceptron_train(labeled, num_buckets=4096, epochs=3)
+        docs = _stage(
+            perceptron_score(docs, weights)
+            .filter(F.col("score") > args.quality_keep_score)
+            .drop("score"),
+            "after_quality_classifier",
+        )
+
     # cross-corpus dedup: paragraphs first (boilerplate), then near-dup docs
     docs = _stage(
         paragraph_dedup(docs.select("doc_id", "text"))
@@ -199,6 +243,22 @@ def run(spark, args) -> dict:
                 k=args.host_cap,
             ).drop("host", "_sz", "key_rank"),
             "after_host_cap",
+        )
+
+    if args.temperature_mix_k > 0:
+        # sub-linear host mixing: budget hosts by n^tau largest-remainder
+        # seats, fill quotas by the deterministic sampling hash — the
+        # budget-first alternative to the hard --host-cap
+        from hepcrawl_spark.operators.mix import temperature_mix
+
+        docs = _stage(
+            temperature_mix(
+                docs.withColumn("host", host_of("url")),
+                args.temperature_mix_k,
+                domain_col="host",
+                tau=args.temperature_tau,
+            ).drop("host", "budget", "domain_rank"),
+            "after_temperature_mix",
         )
 
     if args.sample_rate < 1.0:

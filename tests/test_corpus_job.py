@@ -164,3 +164,49 @@ def test_corpus_job_blocklist_c4_nfc_hostcap(spark, tmp_path):
     # audit table for rejected C4 pages exists with verdicts
     c4a = spark.read.parquet(f"{out}/audit_c4")
     assert c4a.filter("has_lorem").count() == 1
+
+
+def test_corpus_job_quality_classifier_and_temperature_mix(spark, tmp_path):
+    """The learned quality filter (perceptron vs a target seed sample) and
+    n^tau host mixing, end to end."""
+    physics = "neutrino oscillation detector beam flux physics result"
+    spam = "casino bonus spins win money deals online shop now"
+
+    rows = []
+    # the WebText-classifier setting: the crawl is MOSTLY junk, the target
+    # domain is the curated minority. The negative sample is a deterministic
+    # hash of each url, so these physics urls are chosen OUTSIDE the 0.4
+    # sample — matching the recipe's premise that the sampled negatives are
+    # junk (a target-like doc in the negatives drags the boundary down;
+    # that noise is tolerable at real <1% target rates, not at 24%)
+    for i in range(4):
+        rows.append((f"https://big-host.org/p{i}", f"{physics} page {i}"))
+    rows.append(("https://small.org/n3", f"{physics} lone note"))
+    for host in ("spamhost.biz", "adfarm.click"):
+        for i in range(8):
+            rows.append((f"https://{host}/{i}", f"{spam} offer {i}"))
+
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(pages_dir)
+    tgt_dir = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(i, f"{physics} curated seed {i}") for i in range(6)],
+        "doc_id bigint, text string",
+    ).write.parquet(tgt_dir)
+    out = str(tmp_path / "corpus_q")
+
+    audit = run(spark, parse_args([
+        "--input", pages_dir, "--input-format", "pages", "--output", out,
+        "--quality-target", tgt_dir, "--quality-neg-rate", "0.4",
+        "--neardup-threshold", "0.99",
+        "--temperature-mix-k", "4",
+    ]))
+    assert audit["input_docs"] == 21
+    # every spam doc scores negative; all five physics docs clear zero
+    assert audit["after_quality_classifier"] == 5
+    assert 3 <= audit["after_temperature_mix"] <= 4
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.filter(
+        F.col("url").contains("spamhost") | F.col("url").contains("adfarm")
+    ).count() == 0
+    assert corpus.filter(F.col("url").contains("big-host")).count() >= 2
