@@ -297,6 +297,19 @@ def main() -> None:
         ).count(),
     )
 
+    # BPE tokenizer: exact distributed word counts -> 200 driver merges ->
+    # Arrow-batched encode of the whole prose table; stat = total subword
+    # tokens (the memoized encoder's per-row cost is a dict hit on Zipf text)
+    from hepcrawl_spark.operators import bpe as BPE
+
+    def _bpe():
+        merges = BPE.bpe_train(BPE.word_counts(prose), n_merges=200)
+        return int(
+            BPE.bpe_encode(prose, merges).agg(F.sum("n_bpe")).collect()[0][0]
+        )
+
+    extras["bpe_total_tokens"] = timed("bpe_train_encode", _bpe)
+
     qs = entry.queries()
     for name in ("q1_pricing_summary", "q3_order_revenue", "w1_tumbling_window",
                  "x5_cosine_topk", "p1_politeness_wave", "d1b_crawl_once_bloom"):

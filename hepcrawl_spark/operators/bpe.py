@@ -1,0 +1,184 @@
+"""Byte-pair-encoding tokenizer: distributed corpus statistics, exact
+classic training, Arrow-batched encoding.
+
+The Sennrich et al. 2016 algorithm, factored the way every production
+tokenizer pipeline factors it:
+
+1. **Corpus reduction** (`word_counts`) — the only corpus-sized step:
+   normalize + whitespace-split + ONE groupBy(word) count. Map-side
+   partial aggregation caps the shuffle at the per-partition distinct
+   vocabulary; the result is Zipf-bounded (millions of rows at 100 TB,
+   not trillions).
+2. **Merge training** (`bpe_train`) — classic greedy pair merging over
+   the TOP-``max_words`` word-frequency table, driver-side. Bounding the
+   table is the standard practice (real tokenizer trainers subsample the
+   corpus; here the distributed count is exact and only the tail is
+   truncated — at 100 TB the top-100k words cover the overwhelming mass
+   of a natural-language corpus and, crucially, every pair statistic is
+   an EXACT corpus-wide count, which a sampled trainer cannot promise).
+   Deterministic tie-breaking (count desc, then pair lexicographic) makes
+   the merge list a pure function of the corpus.
+3. **Encoding** (`bpe_encode`) — applying the frozen merge ranks is
+   inherently per-word sequential (each merge depends on the previous),
+   the legitimate Pandas-UDF case: ``mapInPandas`` with a per-batch
+   memo keyed on the distinct words in the batch — Zipf again means the
+   memo hit-rate approaches 1 on prose, so the per-row cost is a dict
+   lookup, not a merge loop.
+
+Words are segmented in isolation (GPT-2 style pre-tokenization by
+whitespace, no cross-word merges), so encode parallelism is
+embarrassing: no shuffle, no state, any partitioning.
+
+Reference context: hepcrawl never tokenizes (its text fields pass
+through whole); this replaces the BPE-ish regex estimate in
+operators/textstats.py::token_count_bpe_ish with a real trainable
+subword vocabulary for the LLM-pipeline suite.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyarrow  # noqa: F401 — Arrow batching is the point
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+from .dedup import normalize_text
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) exact corpus word frequencies — one explode + one
+    groupBy(word) with map-side partial aggregation."""
+    return (
+        docs.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_train(
+    counts: DataFrame | list[tuple[str, int]],
+    n_merges: int = 200,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a word-frequency table.
+
+    Accepts the `word_counts` DataFrame (collects the top ``max_words``
+    by count desc, word asc — O(vocab) driver scalars, the model not the
+    data) or a plain list for tests. Greedy: repeatedly merge the
+    most-frequent adjacent symbol pair; ties break lexicographically so
+    training is deterministic.
+    """
+    if isinstance(counts, DataFrame):
+        rows = (
+            counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
+            .limit(max_words)
+            .collect()
+        )
+        vocab = [(r["word"], int(r["cnt"])) for r in rows]
+    else:
+        vocab = list(counts)
+
+    # word -> (symbol tuple, count)
+    words: list[tuple[list[str], int]] = [(list(w), c) for w, c in vocab if w]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def _segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word in rank order (the standard encoder)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Segment a single word under the frozen merge list (test hook)."""
+    return _segment(word, {p: i for i, p in enumerate(merges)})
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bpe_tokens array<string>, n_bpe long) for every doc.
+
+    mapInPandas with the merge ranks closed over (broadcast via task
+    serialization — the merge list is a few KB) and a per-batch word
+    memo; words are normalized/split exactly like `word_counts`, so
+    encoding is consistent with training.
+    """
+    ranks = {p: i for i, p in enumerate(merges)}
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("bpe_tokens", ArrayType(StringType())),
+            StructField("n_bpe", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+
+        def enc(text: str) -> list[str]:
+            out: list[str] = []
+            # __text is already normalize_text()'d JVM-side, so the word
+            # boundary here is bit-identical to word_counts' training split
+            for w in (text or "").split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _segment(w, ranks)
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            toks = pdf["__text"].map(enc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"],
+                    "bpe_tokens": toks,
+                    "n_bpe": toks.map(len).astype("int64"),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("__id"),
+        normalize_text(text_col).alias("__text"),
+    )
+    return src.mapInPandas(run, schema).withColumnRenamed("doc_id", id_col)

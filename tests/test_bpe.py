@@ -1,0 +1,79 @@
+"""BPE tokenizer: training, encoding, Spark round trip."""
+
+import pyspark.sql.functions as F
+
+from hepcrawl_spark.operators import bpe
+
+
+def test_bpe_train_classic_example():
+    # the Sennrich et al. running example: 'es' then 'est' emerge from the
+    # -est suffix mass
+    vocab = [("lowest", 6), ("newest", 5), ("widest", 4), ("low", 3)]
+    merges = bpe.bpe_train(vocab, n_merges=3)
+    assert merges[0] == ("e", "s")      # 15 occurrences, most frequent pair
+    assert merges[1] == ("es", "t")     # fused next
+    assert ("l", "o") in merges or ("es", "t") in merges
+
+
+def test_bpe_train_deterministic_tie_break():
+    # 'ab' and 'ba' tie at 2 -> lexicographic pick ('a','b')
+    merges = bpe.bpe_train([("abab", 1), ("ba", 1)], n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_train_stops_when_no_pairs():
+    assert bpe.bpe_train([("a", 5), ("b", 2)], n_merges=10) == []
+
+
+def test_encode_word_matches_training_segmentation():
+    vocab = [("lowest", 6), ("newest", 5), ("widest", 4), ("low", 3)]
+    merges = bpe.bpe_train(vocab, n_merges=6)
+    # a trained word re-encodes to the same segmentation training reached
+    assert "".join(bpe.encode_word("lowest", merges)) == "lowest"
+    assert "est" in bpe.encode_word("tallest", merges) or [
+        s for s in bpe.encode_word("tallest", merges) if "es" in s
+    ]
+    # unseen symbols stay as characters
+    assert bpe.encode_word("xyz", merges) == ["x", "y", "z"]
+    assert bpe.encode_word("", merges) == []
+
+
+def test_bpe_spark_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the lowest rate and the newest rate"),
+            (2, "The Lowest   rate,"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    wc = bpe.word_counts(docs)
+    counts = {r["word"]: r["cnt"] for r in wc.collect()}
+    # lowercased + trimmed; punctuation sticks to its word ("rate," is
+    # its own type, exactly like the training split)
+    assert counts["rate"] == 2 and counts["the"] == 3 and counts["rate,"] == 1
+    merges = bpe.bpe_train(wc, n_merges=20)
+    assert len(merges) > 0
+
+    out = bpe.bpe_encode(docs, merges).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    assert out[2]["n_bpe"] == 0 and out[2]["bpe_tokens"] == []
+    # every token round-trips: concatenation restores the normalized words
+    joined = "".join(out[1]["bpe_tokens"])
+    assert joined == "thelowestrate,"
+    # frequent trained words compress below character count
+    assert out[0]["n_bpe"] < len("the lowest rate and the newest rate".replace(" ", ""))
+
+
+def test_bpe_encode_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"rate the lowest rate {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    merges = bpe.bpe_train(bpe.word_counts(docs), n_merges=10)
+    a = {r["doc_id"]: r["bpe_tokens"] for r in bpe.bpe_encode(docs, merges).collect()}
+    b = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_encode(docs.repartition(7), merges).collect()
+    }
+    assert a == b
