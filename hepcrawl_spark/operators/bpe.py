@@ -20,10 +20,9 @@ tokenizer pipeline factors it:
    the merge list a pure function of the corpus.
 3. **Encoding** (`bpe_encode`) — applying the frozen merge ranks is
    inherently per-word sequential (each merge depends on the previous),
-   the legitimate Pandas-UDF case: ``mapInPandas`` with a per-batch
-   memo keyed on the distinct words in the batch — Zipf again means the
-   memo hit-rate approaches 1 on prose, so the per-row cost is a dict
-   lookup, not a merge loop.
+   the legitimate Pandas-UDF case: ``mapInPandas`` with a capped
+   per-task word memo — Zipf again means the memo hit-rate approaches 1
+   on prose, so the per-row cost is a dict lookup, not a merge loop.
 
 Words are segmented in isolation (GPT-2 style pre-tokenization by
 whitespace, no cross-word merges), so encode parallelism is
@@ -84,28 +83,55 @@ def bpe_train(
     else:
         vocab = list(counts)
 
-    # word -> (symbol tuple, count)
+    # word -> (symbol list, count), with an incremental pair index so each
+    # merge touches only the words that CONTAIN the merged pair — the
+    # standard trainer structure; a naive full rescan per merge would cost
+    # O(n_merges x total_symbols) driver time at max_words scale
     words: list[tuple[list[str], int]] = [(list(w), c) for w, c in vocab if w]
+
+    def _pairs_of(syms: list[str]) -> dict[tuple[str, str], int]:
+        d: dict[tuple[str, str], int] = {}
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            d[p] = d.get(p, 0) + 1
+        return d
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, c) in enumerate(words):
+        for p, n in _pairs_of(syms).items():
+            pair_counts[p] = pair_counts.get(p, 0) + n * c
+            pair_words.setdefault(p, set()).add(wi)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for syms, c in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
         if not pair_counts:
             break
         best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         a, b = best
         ab = a + b
-        for syms, _ in words:
+        for wi in pair_words.pop(best, set()):
+            syms, c = words[wi]
+            before = _pairs_of(syms)
             i = 0
             while i < len(syms) - 1:
                 if syms[i] == a and syms[i + 1] == b:
                     syms[i : i + 2] = [ab]
                 else:
                     i += 1
+            after = _pairs_of(syms)
+            for p in before.keys() | after.keys():
+                delta = after.get(p, 0) - before.get(p, 0)
+                if delta:
+                    pair_counts[p] = pair_counts.get(p, 0) + delta * c
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                if after.get(p):
+                    pair_words.setdefault(p, set()).add(wi)
+                elif p in pair_words:
+                    pair_words[p].discard(wi)
+        pair_counts.pop(best, None)
     return merges
 
 
@@ -138,21 +164,28 @@ def bpe_encode(
     """(id, bpe_tokens array<string>, n_bpe long) for every doc.
 
     mapInPandas with the merge ranks closed over (broadcast via task
-    serialization — the merge list is a few KB) and a per-batch word
-    memo; words are normalized/split exactly like `word_counts`, so
+    serialization — the merge list is a few KB) and a capped per-task
+    word memo; words are normalized/split exactly like `word_counts`, so
     encoding is consistent with training.
     """
     ranks = {p: i for i, p in enumerate(merges)}
+    # carry the caller's id through with its OWN type — casting would break
+    # string ids under ANSI mode or null them out silently
+    id_type = docs.schema[id_col].dataType
     schema = StructType(
         [
-            StructField("doc_id", LongType()),
+            StructField("doc_id", id_type),
             StructField("bpe_tokens", ArrayType(StringType())),
             StructField("n_bpe", LongType()),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-TASK memo: high-hit on Zipf text, but crawl corpora carry
+        # unbounded unique tokens (urls, hashes, ids) — cap it so a large
+        # partition cannot grow the Python worker without limit
         memo: dict[str, list[str]] = {}
+        MEMO_CAP = 1 << 20
 
         def enc(text: str) -> list[str]:
             out: list[str] = []
@@ -163,7 +196,9 @@ def bpe_encode(
                     continue
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = _segment(w, ranks)
+                    got = _segment(w, ranks)
+                    if len(memo) < MEMO_CAP:
+                        memo[w] = got
                 out.extend(got)
             return out
 
@@ -178,7 +213,7 @@ def bpe_encode(
             )
 
     src = docs.select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),
         normalize_text(text_col).alias("__text"),
     )
     return src.mapInPandas(run, schema).withColumnRenamed("doc_id", id_col)

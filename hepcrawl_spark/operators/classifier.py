@@ -46,27 +46,12 @@ the rule-based gopher/C4 passes in operators/textstats.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dsir import gram_buckets
 
 DEFAULT_BUCKETS = 256
-
-
-def _weight_fold(weights: list[int], text_col: str, out_col: str):
-    """(carrier DataFrame, fold Column): integer dot product of the doc's
-    gram-bucket multiset with the broadcast weight array."""
-    spark = SparkSession.getActiveSession()
-    arr = spark.createDataFrame(
-        [([int(x) for x in weights],)], "__pw: array<bigint>"
-    )
-    fold = F.aggregate(
-        gram_buckets(text_col, len(weights)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc + F.element_at(F.col("__pw"), (b + 1).cast("int")),
-    )
-    return arr, fold
 
 
 def perceptron_score(
@@ -78,7 +63,15 @@ def perceptron_score(
     """Append the integer classifier score ``sum_b w[b] * count_b(doc)``.
     One-row broadcast carrier + whole-stage-codegen fold — no shuffle, no
     Python (the same plan family as ``dsir.dsir_score``)."""
-    arr, fold = _weight_fold(weights, text_col, out_col)
+    spark = SparkSession.getActiveSession() or docs.sparkSession
+    arr = spark.createDataFrame(
+        [([int(x) for x in weights],)], "__pw: array<bigint>"
+    )
+    fold = F.aggregate(
+        gram_buckets(text_col, len(weights)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.element_at(F.col("__pw"), (b + 1).cast("int")),
+    )
     return (
         docs.crossJoin(F.broadcast(arr))
         .withColumn(out_col, fold)
@@ -109,11 +102,8 @@ def perceptron_train(
     w = [0] * num_buckets
     lbl = F.col(label_col).cast("bigint")
     for _ in range(epochs):
-        arr, fold = _weight_fold(w, text_col, "__ps")
-        mis = (
-            docs.crossJoin(F.broadcast(arr))
-            .withColumn("__ps", fold)
-            .filter(lbl * F.col("__ps") <= 0)
+        mis = perceptron_score(docs, w, text_col, "__ps").filter(
+            lbl * F.col("__ps") <= 0
         )
         grad_rows = (
             mis.select(

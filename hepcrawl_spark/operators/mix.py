@@ -94,6 +94,10 @@ def temperature_mix(
     order) for auditability. One count shuffle + one quota-fill shuffle,
     both on the domain key; the budget table is a literal broadcast.
     """
+    # NULL domains (unparseable hosts) carry no meaningful mixing key —
+    # exclude them up front rather than crash the sort or silently drop
+    # them at the join
+    docs = docs.filter(F.col(domain_col).isNotNull())
     counts = {
         r[0]: r[1]
         for r in docs.groupBy(domain_col).count().collect()

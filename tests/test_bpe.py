@@ -77,3 +77,43 @@ def test_bpe_encode_partition_invariant(spark):
         for r in bpe.bpe_encode(docs.repartition(7), merges).collect()
     }
     assert a == b
+
+
+def test_bpe_encode_preserves_string_ids(spark):
+    docs = spark.createDataFrame(
+        [("u1", "rate the rate"), ("u2", "lowest")],
+        "doc_id string, text string",
+    )
+    merges = bpe.bpe_train(bpe.word_counts(docs), n_merges=5)
+    out = {r["doc_id"]: r["n_bpe"] for r in bpe.bpe_encode(docs, merges).collect()}
+    assert set(out) == {"u1", "u2"} and all(v > 0 for v in out.values())
+
+
+def test_bpe_train_incremental_matches_reference():
+    # the incremental pair-index trainer must reproduce the naive
+    # full-rescan algorithm exactly
+    def naive(vocab, n_merges):
+        words = [(list(w), c) for w, c in vocab if w]
+        merges = []
+        for _ in range(n_merges):
+            pc = {}
+            for syms, c in words:
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            for syms, _ in words:
+                i = 0
+                while i < len(syms) - 1:
+                    if syms[i] == a and syms[i + 1] == b:
+                        syms[i:i + 2] = [a + b]
+                    else:
+                        i += 1
+        return merges
+
+    vocab = [("lowest", 6), ("newest", 5), ("widest", 4), ("low", 3),
+             ("aaaa", 7), ("banana", 2), ("bandana", 2)]
+    assert bpe.bpe_train(vocab, n_merges=15) == naive(vocab, 15)

@@ -112,3 +112,13 @@ def test_perceptron_converged_early_stop(spark):
     w3 = classifier.perceptron_train(docs, num_buckets=64, epochs=3)
     w9 = classifier.perceptron_train(docs, num_buckets=64, epochs=9)
     assert w3 == w9
+
+
+def test_temperature_mix_null_domains_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "t"), (2, None, "t"), (3, "a", "t"), (4, "b", "t")],
+        "doc_id bigint, source string, text string",
+    )
+    out = mix.temperature_mix(docs, 3, domain_col="source").collect()
+    assert all(r["source"] is not None for r in out)
+    assert len(out) == 3
