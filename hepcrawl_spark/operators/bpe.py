@@ -217,3 +217,93 @@ def bpe_encode(
         normalize_text(text_col).alias("__text"),
     )
     return src.mapInPandas(run, schema).withColumnRenamed("doc_id", id_col)
+
+
+def bpe_vocab(
+    counts: DataFrame | list[tuple[str, int]],
+    merges: list[tuple[str, str]],
+    max_words: int = 100_000,
+) -> dict[str, int]:
+    """token -> id for the trained tokenizer: id 0 is reserved for <unk>
+    (characters outside the training alphabet), then the alphabet in
+    sorted order, then the merge outputs in merge order — the id space a
+    training pipeline feeds to an embedding table.
+
+    The alphabet comes from the same top-``max_words`` frequency slice
+    training saw, so vocab construction is deterministic given (corpus,
+    params).
+    """
+    if isinstance(counts, DataFrame):
+        rows = (
+            counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
+            .limit(max_words)
+            .collect()
+        )
+        words = [r["word"] for r in rows]
+    else:
+        words = [w for w, _ in counts]
+    alphabet = sorted({ch for w in words for ch in w})
+    vocab = {"<unk>": 0}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token_ids array<long>, n_bpe long): `bpe_encode` + the vocab
+    lookup fused into the same Arrow pass (tokens outside the vocab map
+    to <unk> = 0). The id arrays are what a packing/batching stage
+    consumes (`scrub.pack_chunks` keys on the n_bpe counts)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    id_type = docs.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("token_ids", ArrayType(LongType())),
+            StructField("n_bpe", LongType()),
+        ]
+    )
+    unk = vocab.get("<unk>", 0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[int]] = {}
+        MEMO_CAP = 1 << 20
+
+        def enc(text: str) -> list[int]:
+            out: list[int] = []
+            for w in (text or "").split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = [vocab.get(t, unk) for t in _segment(w, ranks)]
+                    if len(memo) < MEMO_CAP:
+                        memo[w] = got
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            ids = pdf["__text"].map(enc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"],
+                    "token_ids": ids,
+                    "n_bpe": ids.map(len).astype("int64"),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).alias("__id"),
+        normalize_text(text_col).alias("__text"),
+    )
+    return src.mapInPandas(run, schema).withColumnRenamed("doc_id", id_col)

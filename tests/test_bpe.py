@@ -117,3 +117,28 @@ def test_bpe_train_incremental_matches_reference():
     vocab = [("lowest", 6), ("newest", 5), ("widest", 4), ("low", 3),
              ("aaaa", 7), ("banana", 2), ("bandana", 2)]
     assert bpe.bpe_train(vocab, n_merges=15) == naive(vocab, 15)
+
+
+def test_bpe_vocab_and_encode_ids(spark):
+    docs = spark.createDataFrame(
+        [(1, "the lowest rate"), (2, "rate the rate")],
+        "doc_id bigint, text string",
+    )
+    wc = bpe.word_counts(docs)
+    merges = bpe.bpe_train(wc, n_merges=10)
+    vocab = bpe.bpe_vocab(wc, merges)
+    assert vocab["<unk>"] == 0
+    # alphabet chars all present, merge outputs appended in merge order
+    for ch in "thelowsrat":
+        assert ch in vocab
+    out = {r["doc_id"]: r for r in bpe.bpe_encode_ids(docs, merges, vocab).collect()}
+    toks = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges).collect()}
+    for d in (1, 2):
+        assert out[d]["n_bpe"] == toks[d]["n_bpe"]
+        # ids round-trip through the inverse vocab to the string tokens
+        inv = {i: t for t, i in vocab.items()}
+        assert [inv[i] for i in out[d]["token_ids"]] == list(toks[d]["bpe_tokens"])
+    # out-of-alphabet chars map to <unk>
+    odd = spark.createDataFrame([(9, "zq")], "doc_id bigint, text string")
+    r = bpe.bpe_encode_ids(odd, merges, vocab).collect()[0]
+    assert all(i == 0 for i in r["token_ids"]) and r["n_bpe"] == 2
