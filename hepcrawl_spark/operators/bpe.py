@@ -60,28 +60,35 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_train(
-    counts: DataFrame | list[tuple[str, int]],
-    n_merges: int = 200,
-    max_words: int = 100_000,
-) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges from a word-frequency table.
-
-    Accepts the `word_counts` DataFrame (collects the top ``max_words``
-    by count desc, word asc — O(vocab) driver scalars, the model not the
-    data) or a plain list for tests. Greedy: repeatedly merge the
-    most-frequent adjacent symbol pair; ties break lexicographically so
-    training is deterministic.
-    """
+def top_words(
+    counts: DataFrame | list[tuple[str, int]], max_words: int = 100_000
+) -> list[tuple[str, int]]:
+    """Collect the top-``max_words`` (word, cnt) slice by count desc, word
+    asc — O(vocab) driver scalars, the model not the data. Collect ONCE
+    and pass the list to both ``bpe_train`` and ``bpe_vocab`` so they see
+    the same frequency slice (and the corpus-sized TakeOrdered job runs
+    once); both also accept the raw DataFrame for convenience."""
     if isinstance(counts, DataFrame):
         rows = (
             counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
             .limit(max_words)
             .collect()
         )
-        vocab = [(r["word"], int(r["cnt"])) for r in rows]
-    else:
-        vocab = list(counts)
+        return [(r["word"], int(r["cnt"])) for r in rows]
+    return list(counts)[:max_words]
+
+
+def bpe_train(
+    counts: DataFrame | list[tuple[str, int]],
+    n_merges: int = 200,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a word-frequency table (the
+    `word_counts` DataFrame or an already-collected `top_words` list).
+    Greedy: repeatedly merge the most-frequent adjacent symbol pair; ties
+    break lexicographically so training is deterministic.
+    """
+    vocab = top_words(counts, max_words)
 
     # word -> (symbol list, count), with an incremental pair index so each
     # merge touches only the words that CONTAIN the merged pair — the
@@ -169,54 +176,13 @@ def bpe_encode(
     encoding is consistent with training.
     """
     ranks = {p: i for i, p in enumerate(merges)}
-    # carry the caller's id through with its OWN type — casting would break
-    # string ids under ANSI mode or null them out silently
-    id_type = docs.schema[id_col].dataType
-    schema = StructType(
-        [
-            StructField("doc_id", id_type),
-            StructField("bpe_tokens", ArrayType(StringType())),
-            StructField("n_bpe", LongType()),
-        ]
+    return _encode(
+        docs, id_col, text_col, "bpe_tokens", StringType(),
+        lambda w: _segment(w, ranks),
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-TASK memo: high-hit on Zipf text, but crawl corpora carry
-        # unbounded unique tokens (urls, hashes, ids) — cap it so a large
-        # partition cannot grow the Python worker without limit
-        memo: dict[str, list[str]] = {}
-        MEMO_CAP = 1 << 20
 
-        def enc(text: str) -> list[str]:
-            out: list[str] = []
-            # __text is already normalize_text()'d JVM-side, so the word
-            # boundary here is bit-identical to word_counts' training split
-            for w in (text or "").split(" "):
-                if not w:
-                    continue
-                got = memo.get(w)
-                if got is None:
-                    got = _segment(w, ranks)
-                    if len(memo) < MEMO_CAP:
-                        memo[w] = got
-                out.extend(got)
-            return out
-
-        for pdf in batches:
-            toks = pdf["__text"].map(enc)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["__id"],
-                    "bpe_tokens": toks,
-                    "n_bpe": toks.map(len).astype("int64"),
-                }
-            )
-
-    src = docs.select(
-        F.col(id_col).alias("__id"),
-        normalize_text(text_col).alias("__text"),
-    )
-    return src.mapInPandas(run, schema).withColumnRenamed("doc_id", id_col)
+UNK_ID = 0  # reserved: characters outside the training alphabet
 
 
 def bpe_vocab(
@@ -224,32 +190,28 @@ def bpe_vocab(
     merges: list[tuple[str, str]],
     max_words: int = 100_000,
 ) -> dict[str, int]:
-    """token -> id for the trained tokenizer: id 0 is reserved for <unk>
-    (characters outside the training alphabet), then the alphabet in
-    sorted order, then the merge outputs in merge order — the id space a
-    training pipeline feeds to an embedding table.
+    """token -> id for the trained tokenizer: the alphabet in sorted
+    order, then the merge outputs in merge order, ids starting at 1 —
+    the id space a training pipeline feeds to an embedding table. Id 0
+    (``UNK_ID``) is reserved for out-of-alphabet characters and has NO
+    token string: web text legitimately contains strings like "<unk>",
+    so a sentinel key would silently alias real tokens onto the unknown
+    id.
 
-    The alphabet comes from the same top-``max_words`` frequency slice
-    training saw, so vocab construction is deterministic given (corpus,
-    params).
+    Pass the list from ``top_words`` (collected once, shared with
+    ``bpe_train``) so vocab and training see the same frequency slice;
+    the raw DataFrame is accepted too, at the cost of re-running the
+    top-words job.
     """
-    if isinstance(counts, DataFrame):
-        rows = (
-            counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
-            .limit(max_words)
-            .collect()
-        )
-        words = [r["word"] for r in rows]
-    else:
-        words = [w for w, _ in counts]
+    words = [w for w, _ in top_words(counts, max_words)]
     alphabet = sorted({ch for w in words for ch in w})
-    vocab = {"<unk>": 0}
+    vocab: dict[str, int] = {}
     for ch in alphabet:
-        vocab[ch] = len(vocab)
+        vocab[ch] = len(vocab) + 1
     for a, b in merges:
         tok = a + b
         if tok not in vocab:
-            vocab[tok] = len(vocab)
+            vocab[tok] = len(vocab) + 1
     return vocab
 
 
@@ -261,44 +223,60 @@ def bpe_encode_ids(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, token_ids array<long>, n_bpe long): `bpe_encode` + the vocab
-    lookup fused into the same Arrow pass (tokens outside the vocab map
-    to <unk> = 0). The id arrays are what a packing/batching stage
+    lookup fused into the same Arrow pass (out-of-alphabet characters map
+    to ``UNK_ID`` = 0). The id arrays are what a packing/batching stage
     consumes (`scrub.pack_chunks` keys on the n_bpe counts)."""
     ranks = {p: i for i, p in enumerate(merges)}
+    return _encode(
+        docs, id_col, text_col, "token_ids", LongType(),
+        lambda w: [vocab.get(t, UNK_ID) for t in _segment(w, ranks)],
+    )
+
+
+def _encode(docs, id_col, text_col, out_field, elem_type, word_fn):
+    """Shared Arrow encode pass: normalize JVM-side (bit-identical word
+    boundaries vs `word_counts`), segment per word via ``word_fn`` with a
+    capped per-task memo, emit (id, <out_field> array, n_bpe)."""
+    # carry the caller's id through with its OWN type — casting would break
+    # string ids under ANSI mode or null them out silently
     id_type = docs.schema[id_col].dataType
     schema = StructType(
         [
             StructField("doc_id", id_type),
-            StructField("token_ids", ArrayType(LongType())),
+            StructField(out_field, ArrayType(elem_type)),
             StructField("n_bpe", LongType()),
         ]
     )
-    unk = vocab.get("<unk>", 0)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, list[int]] = {}
+        # per-TASK memo: high-hit on Zipf text, but crawl corpora carry
+        # unbounded unique tokens (urls, hashes, ids) — cap it so a large
+        # partition cannot grow the Python worker without limit
+        memo: dict[str, list] = {}
         MEMO_CAP = 1 << 20
 
-        def enc(text: str) -> list[int]:
-            out: list[int] = []
+        def enc(text: str) -> list:
+            out: list = []
+            # __text is already normalize_text()'d JVM-side, so the word
+            # boundary here is bit-identical to word_counts' training split
             for w in (text or "").split(" "):
                 if not w:
                     continue
                 got = memo.get(w)
                 if got is None:
-                    got = [vocab.get(t, unk) for t in _segment(w, ranks)]
+                    got = word_fn(w)
                     if len(memo) < MEMO_CAP:
                         memo[w] = got
                 out.extend(got)
             return out
 
         for pdf in batches:
-            ids = pdf["__text"].map(enc)
+            vals = pdf["__text"].map(enc)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["__id"],
-                    "token_ids": ids,
-                    "n_bpe": ids.map(len).astype("int64"),
+                    out_field: vals,
+                    "n_bpe": vals.map(len).astype("int64"),
                 }
             )
 

@@ -124,11 +124,13 @@ def test_bpe_vocab_and_encode_ids(spark):
         [(1, "the lowest rate"), (2, "rate the rate")],
         "doc_id bigint, text string",
     )
-    wc = bpe.word_counts(docs)
-    merges = bpe.bpe_train(wc, n_merges=10)
-    vocab = bpe.bpe_vocab(wc, merges)
-    assert vocab["<unk>"] == 0
-    # alphabet chars all present, merge outputs appended in merge order
+    # collect the frequency slice ONCE; train and vocab share it
+    words = bpe.top_words(bpe.word_counts(docs))
+    merges = bpe.bpe_train(words, n_merges=10)
+    vocab = bpe.bpe_vocab(words, merges)
+    # id 0 is reserved for unknowns and has NO token string (web text can
+    # contain a literal "<unk>"); real ids start at 1
+    assert bpe.UNK_ID == 0 and 0 not in vocab.values()
     for ch in "thelowsrat":
         assert ch in vocab
     out = {r["doc_id"]: r for r in bpe.bpe_encode_ids(docs, merges, vocab).collect()}
@@ -138,7 +140,18 @@ def test_bpe_vocab_and_encode_ids(spark):
         # ids round-trip through the inverse vocab to the string tokens
         inv = {i: t for t, i in vocab.items()}
         assert [inv[i] for i in out[d]["token_ids"]] == list(toks[d]["bpe_tokens"])
-    # out-of-alphabet chars map to <unk>
+    # out-of-alphabet chars map to UNK_ID
     odd = spark.createDataFrame([(9, "zq")], "doc_id bigint, text string")
     r = bpe.bpe_encode_ids(odd, merges, vocab).collect()[0]
-    assert all(i == 0 for i in r["token_ids"]) and r["n_bpe"] == 2
+    assert all(i == bpe.UNK_ID for i in r["token_ids"]) and r["n_bpe"] == 2
+
+
+def test_bpe_vocab_unk_collision_safe():
+    # a corpus whose merges produce the literal string "<unk>" must not
+    # alias it onto the reserved unknown id
+    vocab_words = [("<unk>", 50)]
+    merges = bpe.bpe_train(vocab_words, n_merges=10)
+    assert "".join(bpe.encode_word("<unk>", merges)) == "<unk>"
+    v = bpe.bpe_vocab(vocab_words, merges)
+    tok_id = v.get("<unk>")
+    assert tok_id is not None and tok_id != bpe.UNK_ID
