@@ -70,6 +70,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "per-host largest-remainder budgets")
     p.add_argument("--temperature-tau", type=float, default=0.5,
                    help="mixing temperature (1.0 = natural distribution)")
+    p.add_argument("--bpe-merges", type=int, default=0,
+                   help=">0: train a BPE tokenizer of this many merges on "
+                        "the FINAL corpus and emit model-ready token-id "
+                        "rows (tokens table + vocab written beside the "
+                        "corpus)")
     return p.parse_args(argv)
 
 
@@ -276,6 +281,36 @@ def run(spark, args) -> dict:
         out = chunk_documents(docs, chunk_tokens=args.chunk_tokens)
         audit["chunks"] = out.count()
     out.write.mode("overwrite").parquet(f"{args.output}/corpus")
+
+    if args.bpe_merges > 0:
+        # model-ready tokenization of the FINAL corpus: the tokenizer is
+        # trained on exactly the text it will encode (post-filter,
+        # post-dedup — training it earlier would waste merges on
+        # boilerplate the pipeline removes). One word-count shuffle,
+        # driver merges, one Arrow encode pass; vocab + token rows land
+        # beside the corpus so a training job needs nothing else.
+        from hepcrawl_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_train,
+            bpe_vocab,
+            top_words,
+            word_counts,
+        )
+
+        words = top_words(word_counts(docs))
+        merges = bpe_train(words, n_merges=args.bpe_merges)
+        vocab = bpe_vocab(words, merges)
+        spark.createDataFrame(
+            sorted(vocab.items()), "token string, token_id bigint"
+        ).write.mode("overwrite").parquet(f"{args.output}/bpe_vocab")
+        tokens = bpe_encode_ids(docs, merges, vocab)
+        tokens.write.mode("overwrite").parquet(f"{args.output}/tokens")
+        audit["bpe_vocab_size"] = len(vocab) + 1  # + reserved unk id 0
+        audit["bpe_total_tokens"] = int(
+            spark.read.parquet(f"{args.output}/tokens")
+            .agg(F.sum("n_bpe")).collect()[0][0] or 0
+        )
+
     for df in _cached:
         df.unpersist()
     return audit

@@ -210,3 +210,29 @@ def test_corpus_job_quality_classifier_and_temperature_mix(spark, tmp_path):
         F.col("url").contains("spamhost") | F.col("url").contains("adfarm")
     ).count() == 0
     assert corpus.filter(F.col("url").contains("big-host")).count() >= 2
+
+
+def test_corpus_job_bpe_tokenization(spark, tmp_path):
+    """--bpe-merges trains on the final corpus and emits token ids + vocab."""
+    rows = [(f"https://h{i % 2}.org/{i}",
+             "the lowest rate and the newest rate appear again and again")
+            for i in range(6)]
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(pages_dir)
+    out = str(tmp_path / "corpus_bpe")
+
+    audit = run(spark, parse_args([
+        "--input", pages_dir, "--input-format", "pages", "--output", out,
+        "--neardup-threshold", "1.01",  # identical docs must survive here
+        "--bpe-merges", "20",
+    ]))
+    assert audit["bpe_vocab_size"] > 10
+    assert audit["bpe_total_tokens"] > 0
+    vocab = spark.read.parquet(f"{out}/bpe_vocab")
+    toks = spark.read.parquet(f"{out}/tokens")
+    assert vocab.filter("token_id = 0").count() == 0  # unk id stays tokenless
+    assert toks.count() == spark.read.parquet(f"{out}/corpus").count()
+    # every emitted id is either unk or a vocab id
+    ids = {r["token_id"] for r in vocab.collect()} | {0}
+    used = {i for r in toks.collect() for i in r["token_ids"]}
+    assert used <= ids
