@@ -70,6 +70,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "per-host largest-remainder budgets")
     p.add_argument("--temperature-tau", type=float, default=0.5,
                    help="mixing temperature (1.0 = natural distribution)")
+    p.add_argument("--export-jsonl-bytes", type=int, default=0,
+                   help=">0: also deliver the corpus as size-bounded JSONL "
+                        "shards of ~this many bytes (data/ + manifest/ "
+                        "under <output>/jsonl)")
     p.add_argument("--bpe-merges", type=int, default=0,
                    help=">0: train a BPE tokenizer of this many merges on "
                         "the FINAL corpus and emit model-ready token-id "
@@ -281,6 +285,14 @@ def run(spark, args) -> dict:
         out = chunk_documents(docs, chunk_tokens=args.chunk_tokens)
         audit["chunks"] = out.count()
     out.write.mode("overwrite").parquet(f"{args.output}/corpus")
+
+    if args.export_jsonl_bytes > 0:
+        from hepcrawl_spark.sources.export import write_jsonl_shards
+
+        manifest = write_jsonl_shards(
+            out, f"{args.output}/jsonl", max_bytes=args.export_jsonl_bytes
+        )
+        audit["jsonl_shards"] = manifest.count()
 
     if args.bpe_merges > 0:
         # model-ready tokenization of the FINAL corpus: the tokenizer is

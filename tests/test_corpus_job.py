@@ -236,3 +236,24 @@ def test_corpus_job_bpe_tokenization(spark, tmp_path):
     ids = {r["token_id"] for r in vocab.collect()} | {0}
     used = {i for r in toks.collect() for i in r["token_ids"]}
     assert used <= ids
+
+
+def test_corpus_job_jsonl_export(spark, tmp_path):
+    import json as _json
+
+    rows = [(f"https://e.org/{i}", f"export document body {i} with words")
+            for i in range(8)]
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(pages_dir)
+    out = str(tmp_path / "corpus_j")
+    audit = run(spark, parse_args([
+        "--input", pages_dir, "--input-format", "pages", "--output", out,
+        "--neardup-threshold", "1.01",
+        "--export-jsonl-bytes", "300",
+    ]))
+    assert audit["jsonl_shards"] >= 1
+    lines = [
+        _json.loads(r["value"])
+        for r in spark.read.text(f"{out}/jsonl/data").collect()
+    ]
+    assert len(lines) == 8 and all("url" in p and "text" in p for p in lines)
