@@ -4675,6 +4675,33 @@ def x47_perceptron(spark, sf):
     ).orderBy("doc_id")
 
 
+# -- X46: BPE corpus word counts (the tokenizer's distributed step) -----------
+# The only corpus-sized stage of operators/bpe.py: exact word frequencies
+# feeding merge training. Top-50 slice in the trainer's own (cnt desc,
+# word asc) deterministic order; the driver-side merge loop itself is
+# pytest-golden (not SQL-expressible).
+@_q(
+    "x46_word_counts",
+    f"""WITH words AS (
+      SELECT u.w AS word FROM (
+        SELECT string_split({_NORM_SQL}, ' ') AS t FROM documents
+      ), LATERAL unnest(t) AS u(w)
+      WHERE u.w <> ''
+    )
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM words GROUP BY word
+    ORDER BY cnt DESC, word ASC LIMIT 50""",
+)
+def x46_word_counts(spark, sf):
+    from hepcrawl_spark.operators.bpe import word_counts
+
+    return (
+        word_counts(_docs(spark, sf))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
 # Gate-priority ordering (COVERAGE.md "Oracle gate rotation"): the driver
 # gates exactly the FIRST 50 queries of this dict, leaving the tail for the
 # next round. Queries whose query code or operator implementation changed
