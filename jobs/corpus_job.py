@@ -281,26 +281,38 @@ def run(spark, args) -> dict:
         )
 
     out = docs
+    text_field, key_field = "text", "doc_id"
     if args.chunk_tokens > 0:
-        out = chunk_documents(docs, chunk_tokens=args.chunk_tokens)
+        # every chunk row gets its own key so downstream artifacts
+        # (tokens, jsonl) pair 1:1 with the written corpus rows
+        out = chunk_documents(docs, chunk_tokens=args.chunk_tokens).withColumn(
+            "row_uid", F.xxhash64("doc_id", "chunk_id")
+        )
         audit["chunks"] = out.count()
+        text_field, key_field = "chunk_text", "row_uid"
     out.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    # downstream sinks read the WRITTEN corpus back: one evaluation of the
+    # pipeline lineage, and what they consume is exactly what landed
+    final = spark.read.parquet(f"{args.output}/corpus")
 
     if args.export_jsonl_bytes > 0:
         from hepcrawl_spark.sources.export import write_jsonl_shards
 
         manifest = write_jsonl_shards(
-            out, f"{args.output}/jsonl", max_bytes=args.export_jsonl_bytes
+            final, f"{args.output}/jsonl",
+            max_bytes=args.export_jsonl_bytes, id_col=key_field,
         )
         audit["jsonl_shards"] = manifest.count()
 
     if args.bpe_merges > 0:
-        # model-ready tokenization of the FINAL corpus: the tokenizer is
-        # trained on exactly the text it will encode (post-filter,
-        # post-dedup — training it earlier would waste merges on
-        # boilerplate the pipeline removes). One word-count shuffle,
-        # driver merges, one Arrow encode pass; vocab + token rows land
-        # beside the corpus so a training job needs nothing else.
+        # model-ready tokenization of the FINAL corpus rows (chunk rows
+        # when chunking is on — the tokens table pairs 1:1 with the
+        # corpus): the tokenizer is trained on exactly the text it will
+        # encode (post-filter, post-dedup — training it earlier would
+        # waste merges on boilerplate the pipeline removes). One
+        # word-count shuffle, driver merges, one Arrow encode pass; vocab
+        # + token rows land beside the corpus so a training job needs
+        # nothing else.
         from hepcrawl_spark.operators.bpe import (
             bpe_encode_ids,
             bpe_train,
@@ -309,13 +321,15 @@ def run(spark, args) -> dict:
             word_counts,
         )
 
-        words = top_words(word_counts(docs))
+        words = top_words(word_counts(final, text_col=text_field))
         merges = bpe_train(words, n_merges=args.bpe_merges)
         vocab = bpe_vocab(words, merges)
         spark.createDataFrame(
             sorted(vocab.items()), "token string, token_id bigint"
         ).write.mode("overwrite").parquet(f"{args.output}/bpe_vocab")
-        tokens = bpe_encode_ids(docs, merges, vocab)
+        tokens = bpe_encode_ids(
+            final, merges, vocab, id_col=key_field, text_col=text_field
+        )
         tokens.write.mode("overwrite").parquet(f"{args.output}/tokens")
         audit["bpe_vocab_size"] = len(vocab) + 1  # + reserved unk id 0
         audit["bpe_total_tokens"] = int(

@@ -257,3 +257,35 @@ def test_corpus_job_jsonl_export(spark, tmp_path):
         for r in spark.read.text(f"{out}/jsonl/data").collect()
     ]
     assert len(lines) == 8 and all("url" in p and "text" in p for p in lines)
+
+
+def test_corpus_job_chunked_bpe_and_jsonl_pair_with_corpus(spark, tmp_path):
+    """With --chunk-tokens on, the tokens table and JSONL export must pair
+    1:1 with the written chunk rows (keyed by row_uid), not the pre-chunk
+    documents."""
+    rows = [(f"https://c.org/{i}",
+             " ".join(f"tok{j}" for j in range(40)) + f" tail {i}")
+            for i in range(5)]
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(pages_dir)
+    out = str(tmp_path / "corpus_cb")
+    audit = run(spark, parse_args([
+        "--input", pages_dir, "--input-format", "pages", "--output", out,
+        "--neardup-threshold", "1.01",
+        "--chunk-tokens", "16", "--bpe-merges", "10",
+        "--export-jsonl-bytes", "400",
+    ]))
+    corpus = spark.read.parquet(f"{out}/corpus")
+    toks = spark.read.parquet(f"{out}/tokens")
+    assert audit["chunks"] == corpus.count() > 5  # chunking actually split
+    assert toks.count() == corpus.count()
+    # keys pair exactly
+    c_keys = {r["row_uid"] for r in corpus.collect()}
+    t_keys = {r["row_uid"] for r in toks.collect()}
+    assert c_keys == t_keys
+    # jsonl export carries every chunk row once
+    import json as _json
+    lines = [_json.loads(r["value"])
+             for r in spark.read.text(f"{out}/jsonl/data").collect()]
+    assert len(lines) == corpus.count()
+    assert {p["row_uid"] for p in lines} == c_keys
