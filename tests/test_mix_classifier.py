@@ -122,3 +122,31 @@ def test_temperature_mix_null_domains_excluded(spark):
     out = mix.temperature_mix(docs, 3, domain_col="source").collect()
     assert all(r["source"] is not None for r in out)
     assert len(out) == 3
+
+
+def test_semantic_dedup_over_ivf_cells(spark):
+    """The production path: bucket = the IVF coarse cell from
+    similarity.ivf_build (spill=1 -> one cell per vector), so the
+    per-bucket self-join is bounded by the largest k-means cell."""
+    from hepcrawl_spark.operators.similarity import (
+        ivf_build,
+        synthesize_clustered_embeddings,
+    )
+
+    emb = synthesize_clustered_embeddings(
+        spark, 200, dim=16, n_clusters=8, spread=0.15
+    )
+    _, assigned = ivf_build(emb, n_cells=8, iterations=4, spill=1)
+    out = semantic_dedup(
+        assigned, threshold=0.9, id_col="vec_id",
+        vec_col="embedding", bucket_col="cell",
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    kept = sum(1 for r in rows if r["kept"])
+    # tight synthetic clusters -> heavy within-cell redundancy removed,
+    # but at least one exemplar per cell survives
+    assert 8 <= kept < 200
+    cells_kept = {r["cell"] for r in rows if r["kept"]}
+    cells_all = {r["cell"] for r in rows}
+    assert cells_kept == cells_all
