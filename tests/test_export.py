@@ -63,3 +63,17 @@ def test_write_jsonl_shards_explicit_bucket(spark, tmp_path):
     ).collect()
     assert {r["bucket"] for r in manifest} == {"0", "1"}
     assert all(r["shard"] == 0 for r in manifest)  # everything fits shard 0
+
+
+def test_write_jsonl_shards_empty_input(spark, tmp_path):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    m = write_jsonl_shards(empty, str(tmp_path / "e"), max_bytes=100)
+    assert m.count() == 0
+
+
+def test_plan_shards_rejects_reserved_columns(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x", 0)], "doc_id bigint, text string, shard int")
+    with pytest.raises(ValueError, match="collide"):
+        plan_jsonl_shards(docs, max_bytes=100)
