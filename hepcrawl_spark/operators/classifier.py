@@ -13,20 +13,19 @@ trades a calibrated probability for exactness and keeps the part that
 matters for a corpus filter: a learned linear ranking over hashed n-gram
 features.
 
-Per epoch (batch update):
+Per epoch (batch update), ONE fused Arrow pass over the corpus:
 
-1. Score every doc under the current weights — a narrow integer fold of
-   the doc's gram-bucket array into a one-row broadcast weight array
-   (identical plan shape to ``dsir.dsir_score``: zero Python, zero
-   shuffle).
+1. Each task scores its docs under the current weights (integer fold of
+   the doc's gram buckets into the weight array, carried as a NumPy
+   closure — identical recipe to ``dsir.dsir_score``).
 2. Misclassified = ``label * score <= 0`` (epoch 0 starts at w = 0, so
    every doc is misclassified and the first update is the class-difference
    of bucket counts — a useful centroid-ish init).
-3. Gradient: explode misclassified docs' gram buckets, ONE
-   groupBy(bucket) agg of ``sum(label)`` — partial aggregation caps the
-   shuffle at ``num_buckets`` rows per partition regardless of corpus
-   size; the collected gradient is O(num_buckets) scalars (the model, not
-   the data — same rule as the DSIR log-ratio).
+3. The same task accumulates misclassified docs' per-bucket label sums in
+   a local Counter — a partial aggregate capping the shuffle at
+   ``num_buckets`` rows per task regardless of corpus size; the collected
+   gradient is O(num_buckets) scalars (the model, not the data — same
+   rule as the DSIR log-ratio).
 4. Driver-side ``w += lr * grad`` over plain ints.
 
 At 100 TB each epoch is one documents-scan + one bounded shuffle;
@@ -34,9 +33,10 @@ At 100 TB each epoch is one documents-scan + one bounded shuffle;
 saturates in a handful of passes). Scoring a corpus under the frozen
 model is a single narrow map.
 
-Features reuse ``dsir.gram_buckets`` (md5-hashed unigrams + bigrams of
-the dedup-family normalized tokens) so one tokenization contract serves
-selection (DSIR) and classification.
+Features reuse the DSIR tokenization contract (``dsir.py_gram_ids``, the
+Python twin of ``dsir.gram_buckets`` — md5-hashed unigrams + bigrams of
+the dedup-family normalized tokens) so one contract serves selection
+(DSIR) and classification.
 
 Reference context: hepcrawl's quality decisions are hand-written rule
 filters (e.g. ``hepcrawl/spiders/elsevier_spider.py`` allowlists); this
@@ -46,10 +46,12 @@ the rule-based gopher/C4 passes in operators/textstats.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .dsir import gram_buckets
+from ..session import spread
+from .dsir import py_gram_ids
 
 DEFAULT_BUCKETS = 256
 
@@ -61,22 +63,33 @@ def perceptron_score(
     out_col: str = "score",
 ) -> DataFrame:
     """Append the integer classifier score ``sum_b w[b] * count_b(doc)``.
-    One-row broadcast carrier + whole-stage-codegen fold — no shuffle, no
-    Python (the same plan family as ``dsir.dsir_score``)."""
-    spark = SparkSession.getActiveSession() or docs.sparkSession
-    arr = spark.createDataFrame(
-        [([int(x) for x in weights],)], "__pw: array<bigint>"
+    One Arrow pass, no shuffle: tokenize+hash in Python/hashlib
+    (``dsir.py_gram_ids``, bit-identical to the JVM gram_buckets) and fold
+    the weight array held as a NumPy closure. Integer sums commute, so the
+    scores are exactly the old fold's values; replaces a per-gram
+    interpreted element_at lambda (guide §4.2)."""
+    import pandas as pd
+
+    num_buckets = len(weights)
+    out_schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
-    fold = F.aggregate(
-        gram_buckets(text_col, len(weights)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc + F.element_at(F.col("__pw"), (b + 1).cast("int")),
-    )
-    return (
-        docs.crossJoin(F.broadcast(arr))
-        .withColumn(out_col, fold)
-        .drop("__pw")
-    )
+
+    def _score(batches):
+        import numpy as np
+
+        w = np.asarray([int(x) for x in weights], dtype=np.int64)
+        for pdf in batches:
+            vals = [
+                int(w[py_gram_ids(txt, num_buckets)].sum()) if txt is not None else None
+                for txt in pdf[text_col]
+            ]
+            out = pdf.copy()
+            dt = "object" if any(v is None for v in vals) else "int64"
+            out[out_col] = pd.Series(vals, index=pdf.index, dtype=dt)
+            yield out
+
+    return spread(docs).mapInPandas(_score, out_schema)
 
 
 def perceptron_train(
@@ -99,19 +112,45 @@ def perceptron_train(
     """
     if lr <= 0 or epochs <= 0:
         raise ValueError("need lr >= 1 and epochs >= 1")
+    import pandas as pd
+
     w = [0] * num_buckets
-    lbl = F.col(label_col).cast("bigint")
+    grad_schema = T.StructType(
+        [T.StructField("bucket", T.LongType()), T.StructField("g", T.LongType())]
+    )
+    narrow = spread(docs.select(label_col, text_col))
     for _ in range(epochs):
-        mis = perceptron_score(docs, w, text_col, "__ps").filter(
-            lbl * F.col("__ps") <= 0
-        )
+        # One fused Arrow pass per epoch: score each doc under the current
+        # weights AND accumulate the misclassified docs' per-bucket label
+        # sums in a task-local Counter (a partial aggregate — at most
+        # num_buckets rows per task cross the shuffle). Replaces the old
+        # two-pass epoch (score fold + explode/groupBy), which tokenized
+        # and hashed the corpus twice; every sum is integer, so the
+        # trained weights are bit-identical.
+        cur_w = list(w)
+
+        def _grad(batches, cur_w=cur_w):
+            import numpy as np
+            from collections import Counter
+
+            wa = np.asarray(cur_w, dtype=np.int64)
+            c: Counter = Counter()
+            for pdf in batches:
+                for lab, txt in zip(pdf[label_col], pdf[text_col]):
+                    if txt is None or lab is None:
+                        continue  # null score never passes label*score <= 0
+                    ids = py_gram_ids(txt, num_buckets)
+                    if int(lab) * int(wa[ids].sum()) <= 0:
+                        lab_i = int(lab)
+                        for b in ids:
+                            c[b] += lab_i
+            if c:
+                yield pd.DataFrame({"bucket": list(c.keys()), "g": list(c.values())})
+
         grad_rows = (
-            mis.select(
-                lbl.alias("__lbl"),
-                F.explode(gram_buckets(text_col, num_buckets)).alias("bucket"),
-            )
+            narrow.mapInPandas(_grad, grad_schema)
             .groupBy("bucket")
-            .agg(F.sum("__lbl").alias("g"))
+            .agg(F.sum("g").alias("g"))
             .collect()
         )
         if not grad_rows:

@@ -74,3 +74,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def spread(df, min_parts: int | None = None):
+    """Round-robin widen a narrow scan before a CPU-heavy (Arrow/Python)
+    pass.
+
+    A parquet file with a single row group arrives as ONE input split no
+    matter how many cores the cluster has, which serializes any downstream
+    mapInPandas on one core (measured: the whole gram-hashing family ran
+    single-threaded on the bench tables). When the input has fewer
+    partitions than the session's default parallelism, pay one small
+    round-robin exchange of the pre-projected rows; inputs that already
+    carry >= parallelism splits (any real multi-file table) pass through
+    untouched, so no shuffle is added at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
