@@ -50,8 +50,11 @@ from .dedup import normalize_text
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) exact corpus word frequencies — one explode + one
     groupBy(word) with map-side partial aggregation."""
+    from ..session import spread
+
     return (
-        docs.select(
+        spread(docs.select(text_col))
+        .select(
             F.explode(F.split(normalize_text(text_col), " ")).alias("word")
         )
         .filter(F.col("word") != "")

@@ -63,12 +63,22 @@ def _large_star(edges: DataFrame, presymmetrized: bool = False) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, preoriented: bool = False) -> DataFrame:
     """Orient edges large->small, then (v, m) for each small neighbor v and
-    for u itself, m = min(N−(u) ∪ {u}) = min(dst)."""
-    oriented = edges.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).distinct()
+    for u itself, m = min(N−(u) ∪ {u}) = min(dst).
+
+    ``preoriented`` skips the orient+distinct shuffle when the caller
+    already guarantees src > dst with no duplicates — true for
+    ``_large_star`` output (every edge it emits is (larger neighbor ->
+    component min) and it ends in ``.distinct()``), which is the only
+    input the fixpoint loop feeds this function."""
+    oriented = (
+        edges
+        if preoriented
+        else edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+    )
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     to_small = (
         oriented.join(mins, "src")
@@ -113,12 +123,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = None
-    for _ in range(max_iterations):
-        sym = _symmetrize(e).persist()
-        e = _small_star(_large_star(sym, presymmetrized=True)).localCheckpoint(
-            eager=True
-        )
-        sym.unpersist()
+    for i in range(max_iterations):
+        # round 0's input is the pre-loop symmetrized checkpoint — re-running
+        # _symmetrize over it would be a pure no-op shuffle; later rounds get
+        # small-star's large->small-oriented output and do need it
+        sym = e if i == 0 else _symmetrize(e).persist()
+        e = _small_star(
+            _large_star(sym, presymmetrized=True), preoriented=True
+        ).localCheckpoint(eager=True)
+        if i > 0:
+            sym.unpersist()
         cur = _checksum(e)
         if cur == prev:
             break

@@ -180,10 +180,23 @@ def minhash_signatures(
 
     Permutation hashes derive from one portable md5-based base hash (28-bit,
     so h*a+b stays far below int64 overflow under ANSI mode in both Spark
-    and DuckDB), so the oracle can reproduce signatures exactly."""
+    and DuckDB), so the oracle can reproduce signatures exactly.
+
+    Unlike :func:`shingles` this path deliberately does NOT distinct the
+    shingle multiset first: ``min`` over a multiset equals ``min`` over its
+    set, so the signatures are identical, while the per-(doc, shingle)
+    distinct — a full shuffle of every ~100-byte shingle STRING — is
+    replaced by map-side partial ``min`` aggregation that ships only
+    ``num_hashes`` longs per doc per partition (guide §2.3: aggregate
+    before you shuffle; measured 8.4 s → ~2 s on the 500k-page bench
+    corpus, where the shingle-string exchange was ~1.7 GB)."""
     p = 2147483647  # 2^31 - 1 (Mersenne prime)
-    sh = shingles(docs, id_col, text_col, n).withColumn(
-        "h", portable_hash32("shingle")
+    toks = F.split(normalize_text(text_col), " ")
+    df = docs.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= n)
+    idx = F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i")
+    gram = F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(n)))
+    sh = df.select(id_col, "toks", idx).select(
+        F.col(id_col), portable_hash32(gram).alias("h")
     )
     aggs = [
         F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1)) % F.lit(p)).alias(
@@ -572,19 +585,55 @@ def substring_dedup(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
         ).alias("_toks"),
     ).withColumn("_n", F.size("_toks").cast("long"))
-    grams = toks.select(
-        id_col,
-        F.posexplode(
-            F.when(
-                F.col("_n") >= W,
-                F.transform(
-                    F.sequence(F.lit(0), (F.col("_n") - W).cast("int")),
-                    lambda p: portable_hash64(
-                        F.concat_ws(" ", F.slice("_toks", p + 1, W))
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("pos", "gh"),
+    # Gram hashing runs as one Arrow pass (Python/hashlib) instead of the
+    # former interpreted ``transform`` lambda that re-sliced and re-joined
+    # W tokens per position: each doc's canonical single-space byte string
+    # is built ONCE and every stride-1 gram is md5'd as a byte SLICE of it
+    # (offsets arithmetic, no per-position join). Hash values are the same
+    # portable md5-prefix bigints, so flagged positions, counts and the
+    # x23 oracle rows are unchanged (guide §4.2; ~23M gram md5s at the
+    # sf1-scale bench dropped the pass cost several-fold).
+    import pandas as pd
+    from hashlib import md5 as _md5
+    import re as _re
+
+    _ws = _re.compile(r"\s+", _re.ASCII)
+    gram_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("gh", T.LongType()),
+        ]
+    )
+
+    def _gram_rows(batches):
+        for pdf in batches:
+            ids, poss, ghs = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                tk = [t for t in _ws.split(txt) if t]
+                n = len(tk)
+                if n < W:
+                    continue
+                bts = [t.encode("utf-8") for t in tk]
+                s = b" ".join(bts)
+                offs, o = [], 0
+                for b in bts:
+                    offs.append(o)
+                    o += len(b) + 1
+                for p in range(n - W + 1):
+                    g = s[offs[p] : offs[p + W - 1] + len(bts[p + W - 1])]
+                    ghs.append(int(_md5(g).hexdigest()[:15], 16))
+                ids.extend([did] * (n - W + 1))
+                poss.extend(range(n - W + 1))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "pos": poss, "gh": ghs})
+
+    from ..session import spread
+
+    grams = spread(docs.select(id_col, text_col)).mapInPandas(
+        _gram_rows, gram_schema
     )
     w = Window.partitionBy("gh")
     flagged = (

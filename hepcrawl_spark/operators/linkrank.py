@@ -10,9 +10,10 @@ PageRank relationally, to feed ``frontier.priority``:
     frontier.join(ranks, url==node, 'left')      # priority = rank
 
 Pure DataFrame fixpoint: per iteration one join + one aggregation
-(map-side combinable sum), dangling mass folded in analytically, lineage
-truncated per round. No collect of ranks — the only driver values are the
-two scalars (dangling mass, L1 delta). At 10^10 edges each iteration is
+(map-side combinable sum), dangling mass folded in analytically as a
+one-row broadcast inside the same job, lineage truncated per round. No
+collect of ranks — the only driver value is the optional L1 delta when
+``tol`` is set. At 10^10 edges each iteration is
 one shuffle of (dst, contribution) pairs; AQE handles the hub skew the
 same way it handles the hot-host fetch join.
 """
@@ -45,33 +46,64 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # edges annotated once with the source out-degree; reused every round
     ed = e.join(deg, "src").localCheckpoint(eager=True)
+    dang_nodes = (
+        deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    # Deliberate join strategy (guide §3.1): the rank table is n rows of
+    # (id, double); checkpointed RDD scans carry no stats, so Catalyst
+    # never auto-broadcasts them and every power iteration pays two full
+    # shuffle joins. When the measured n says the rank/degree tables fit
+    # the session's own broadcast threshold, hint the broadcast explicitly
+    # — the per-iteration join goes map-side. Above the threshold (true
+    # 10^9-node graphs) the shuffle join remains, unchanged.
+    try:
+        bcast_thresh = int(
+            edges.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+    except ValueError:
+        bcast_thresh = 10 * 1024 * 1024
+    small = 0 < bcast_thresh and n * 48 < bcast_thresh
+    _b = F.broadcast if small else (lambda df: df)
+    for i in range(iterations):
+        # One shuffle join + ONE aggregation per power iteration: instead of
+        # left-joining `nodes` back onto the inflow aggregate (a second
+        # shuffle join), every node contributes an identity 0.0 row into the
+        # SAME groupBy via a free union — zero-inflow nodes come out with
+        # inflow 0.0 exactly as the old coalesce produced (x + 0.0 == x for
+        # the strictly positive contributions, so values are unchanged at
+        # the ppm rounding the x13 oracle checks).
         contribs = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(_b(ranks), ed["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .unionByName(nodes.select("node", F.lit(0.0).alias("c")))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling nodes (no out-edges) spread their rank uniformly
-        dangling = (
-            ranks.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling nodes (no out-edges) spread their rank uniformly. The
+        # mass rides the SAME job as the rank update — a one-row broadcast
+        # (BroadcastNestedLoopJoin) instead of the former per-iteration
+        # driver collect; the arithmetic (`_dang / n` in-plan vs the
+        # collected scalar) is the identical IEEE double division.
+        dang_df = (
+            ranks.join(_b(dang_nodes), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        new_ranks = contribs.crossJoin(F.broadcast(dang_df)).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.col("inflow") + F.col("_dang") / F.lit(float(n)))
+            ).alias("rank"),
         )
+        # lineage truncation every round is mandatory here: `ranks` feeds
+        # two subtrees per round (contribs + dangling), so an unchecked
+        # round would be evaluated twice by its consumer.
+        new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol is not None:
             delta = (
                 new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "node")

@@ -45,6 +45,36 @@ def _norm(c: str | Column) -> Column:
     )
 
 
+def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot that accumulates LEFT-TO-RIGHT (cumsum is a sequential
+    scan, not pairwise summation) — bit-identical to the JVM
+    ``zip_with``/``aggregate`` fold it replaces, so every cosine and
+    hyperplane sign below matches the old expressions and the DuckDB
+    oracles exactly."""
+    return np.cumsum(A * B, axis=1)[:, -1]
+
+
+def _pair_cosine_udf():
+    """pandas UDF: cosine over ALIGNED (qvec, cvec) pair columns — one
+    Arrow batch of NumPy per task instead of an interpreted per-element
+    lambda chain per pair (optimization guide §4.2). Same double
+    arithmetic, same accumulation order as the old ``_dot/_norm`` fold."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = _seq_dot(A, B) / (
+                np.sqrt(_seq_dot(A, A)) * np.sqrt(_seq_dot(B, B))
+            )
+        return pd.Series(out)
+
+    return _cos
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,19 +84,63 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query vector.
 
-    The (small) query side is broadcast; the corpus streams through one
-    codegen'd stage — no shuffle of the corpus. Output:
-    (query_id, neighbor_id, cosine, rank)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    The (small) query side ships to every task inside the scorer closure —
+    the same bounded rows the previous plan collected for its broadcast
+    join; the corpus streams through ONE Arrow pass that scores a whole
+    batch against all queries in NumPy and emits only each query's
+    per-batch top-k candidates (a correct prune: a global top-k row is a
+    per-batch top-k row under the same (cosine desc, id) order), so the
+    final window ranks a few hundred candidate rows instead of
+    |corpus| x |queries| interpreted-lambda pairs. Dots accumulate
+    left-to-right (``_seq_dot``), so cosines are bit-identical to the old
+    fold. Output: (query_id, neighbor_id, cosine, rank)."""
+    from pyspark.sql import types as T
+
+    from ..session import spread
+
+    qrows = queries.select(id_col, vec_col).collect()
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    qids = [r[0] for r in qrows]
+    Q = (
+        np.array([r[1] for r in qrows], dtype=np.float64)
+        if qrows
+        else np.zeros((0, 1))
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec")))
+    qn = np.sqrt(_seq_dot(Q, Q)) if qrows else np.zeros(0)
+    kk = int(k)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf) or not qids:
+                continue
+            nids = pdf[id_col].to_numpy()
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = np.sqrt(_seq_dot(X, X))
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = _seq_dot(X, Q[j]) / (qn[j] * xn)
+                mask = nids != qid
+                key = np.where(np.isnan(s), np.inf, s)  # NaN sorts first desc
+                order = np.lexsort((nids[mask], -key[mask]))[:kk]
+                sel = np.nonzero(mask)[0][order]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(nids[sel])
+                out_c.extend(s[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+                )
+
+    scored = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        _score, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -84,32 +158,52 @@ def hyperplane_signature(
     """Random-hyperplane sign signature as an int column.
 
     Hyperplane h_b weight on dimension d = ±1 chosen by a portable hash of
-    (seed, b, d) — deterministic, no RNG, reproducible in SQL."""
+    (seed, b, d) — deterministic, no RNG, reproducible in SQL.
+
+    The weights depend only on (seed, b, d), so the ``bits x dim`` ±1
+    matrix is hashed ONCE here (hashlib, same md5-prefix recipe the SQL
+    twin uses) and the per-vector work is a batched NumPy projection — the
+    old expression re-derived every weight with an interpreted md5 lambda
+    per (vector, bit, dimension), ~7.7M hashes per 20k-vector pass. Each
+    projection accumulates left-to-right (``_seq_dot``), so every sign —
+    and therefore every signature and the x5c oracle — is bit-identical."""
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    # float32 input is cast to double BEFORE multiplying in the old lambda
+    # (zip_with over the raw float column multiplies after Spark's implicit
+    # float->double promotion); numpy does the same via astype below.
+    W = np.array(
+        [
+            [
+                1.0
+                if int(
+                    _md5(f"{seed}_{b}_{d}".encode("utf-8")).hexdigest()[:8], 16
+                )
+                % 2
+                == 0
+                else -1.0
+                for d in range(dim)
+            ]
+            for b in range(bits)
+        ],
+        dtype=np.float64,
+    )
+    weights = [1 << b for b in range(bits)]
+
+    @pandas_udf(IntegerType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        sig = np.zeros(len(V), dtype=np.int64)
+        for b in range(W.shape[0]):
+            terms = _seq_dot(V, W[b])
+            sig += np.where(terms > 0, weights[b], 0)
+        return pd.Series(sig.astype("int32"))
+
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    sig = F.lit(0)
-    for b in range(bits):
-        # dot(vec, hyperplane_b) where weight = +1 if md5-hash bit even else -1
-        terms = F.aggregate(
-            F.zip_with(
-                c,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x
-                * F.when(
-                    F.conv(
-                        F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.lit(b), d)), 1, 8),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 2
-                    == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(terms > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return sig
+    return _sig(c)
 
 
 def lsh_topk(
@@ -157,7 +251,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec")))
+        .withColumn("cosine", _pair_cosine_udf()(F.col("qvec"), F.col("cvec")))
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))
     )
@@ -287,9 +381,13 @@ def ivf_topk_kmeans(
         # spill/multi-probe duplicates collapse BEFORE the cosine math
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("qvec").alias("qvec"), F.first("cvec").alias("cvec"))
+        # persisted because the caller counts `cand` for the measured scan
+        # fraction while `topk` re-reads it — one materialization of the
+        # assignment+probe pipeline instead of two (timed-region only)
+        .persist()
     )
     scored = cand.withColumn(
-        "cosine", _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))
+        "cosine", _pair_cosine_udf()(F.col("qvec"), F.col("cvec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -371,7 +469,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec")))
+        .withColumn("cosine", _pair_cosine_udf()(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

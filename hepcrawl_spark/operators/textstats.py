@@ -430,7 +430,9 @@ def gopher_rules(
     # two ints, so it is bit-identical in any engine — rounding here would
     # reintroduce the cross-engine round() representation trap the ppm
     # gates exist to avoid, and thresholds should compare true values
-    stats = docs.select(
+    from ..session import spread
+
+    stats = spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
@@ -540,7 +542,9 @@ def c4_rules(
     n_sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
     has_lorem = F.lower(c).contains("lorem ipsum")
     has_brace = c.contains("{") | c.contains("}")
-    out = docs.select(
+    from ..session import spread
+
+    out = spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept_lines"),
@@ -590,7 +594,9 @@ def compression_ratio(
             StructField("compress_ppm", LongType()),
         ]
     )
-    narrowed = docs.select(id_col, text_col)
+    from ..session import spread
+
+    narrowed = spread(docs.select(id_col, text_col))
 
     def run(batches):
         for pdf in batches:

@@ -903,3 +903,50 @@ def test_trap_detect_gates_exploding_template(spark, tmp_path):
     # the trap stopped expanding after detection: only wave-1's cal urls
     assert sum(1 for u in seen if "/cal/" in u) == 15
     assert res.total_fetched == 25
+
+
+def test_recrawl_over_threshold_rebuilds_filter(spark, corpus, tmp_path):
+    """Round-5 verdict What's-wrong #1: when the recrawl sweep invalidates
+    more rows than auto_filter_threshold, the driver must NOT collect the
+    hash list — the cuckoo filter is rebuilt from the surviving url_seen
+    instead. Forced here with auto_filter_threshold=0; behavior (everything
+    re-fetches) must match the collect+delete path."""
+    from hepcrawl_spark.crawl.frontier import _write_manifest, read_manifest
+
+    sd = str(tmp_path / "inv2")
+    seeds10 = corpus.orderBy("page_id").limit(10).select(
+        "url", "host", F.lit(1.0).alias("priority"),
+        F.col("warc_ts").alias("discovered_ts"),
+    )
+    run_crawl(
+        spark, corpus, seeds10,
+        CrawlConfig(max_iterations=2, max_per_host=15, salt=1,
+                    filter_mode="cuckoo", state_dir=sd, n_expected_urls=5000),
+    )
+    m = read_manifest(sd)
+    url_seen = spark.read.parquet(m["url_seen"])
+    n_seen = url_seen.count()
+    refeed = url_seen.select(
+        "url",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.lit(1.0).alias("priority"),
+        (F.col("last_ts") - F.expr("INTERVAL 1 DAY")).alias("discovered_ts"),
+        F.lit(0).alias("attempt"),
+    )
+    it_dir = f"{sd}/iter_{m['iteration']:04d}"
+    refeed.write.mode("overwrite").parquet(f"{it_dir}/frontier")
+    _write_manifest(sd, m["iteration"], {
+        "frontier": f"{it_dir}/frontier",
+        "url_seen": m["url_seen"],
+        "seen_size": n_seen,
+    })
+    res = run_crawl(
+        spark, corpus, seeds10,
+        CrawlConfig(max_iterations=m["iteration"] + 2, max_per_host=1000,
+                    salt=1, filter_mode="cuckoo", state_dir=sd,
+                    n_expected_urls=5000,
+                    recrawl_cutoff="2100-01-01 00:00:00",
+                    auto_filter_threshold=0),
+        resume=True,
+    )
+    assert res.iterations[0].fetched == n_seen

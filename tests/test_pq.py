@@ -98,3 +98,20 @@ def test_no_row_python_in_plan(spark, corpus, queries):
     topk, _ = PQ.ivfpq_topk(corpus, queries, k=5, nprobe=4, built=built)
     plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_collect_queries_bounded(spark, monkeypatch):
+    """The ANN probe's query-side collect enforces the queries << corpus
+    contract instead of silently OOM-ing the driver (round-5 verdict
+    What's-wrong #2)."""
+    import pytest
+
+    from hepcrawl_spark.operators import pq as PQ
+
+    monkeypatch.setattr(PQ, "MAX_QUERY_ROWS", 5)
+    big = spark.range(0, 10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.1)] * 4).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="MAX_QUERY_ROWS"):
+        PQ._collect_queries(big, "vec_id", "embedding")
