@@ -443,6 +443,11 @@ def run_crawl(
                     "will obey no robots rules",
                     stacklevel=2,
                 )
+            # zero rules == allow-all: dropping the table entirely removes
+            # one broadcast-join stage from EVERY wave (and the RFC
+            # precedence probe below) with identical gating behavior
+            robots.unpersist()
+            robots = None
     # rules with Allow rows OR RFC 9309 special characters ('*' wildcards,
     # '$' end anchors) need the longest-match gate; the cheap prefix
     # anti-join only handles plain disallow prefixes. Checked once (the
@@ -1055,6 +1060,7 @@ def run_crawl(
             next_frontier = next_frontier.unionByName(
                 retry.select(*frontier_cols)
             )
+        rank_refresh = None
         if (
             cfg.rank_priorities_every > 0
             and (it + 1) % cfg.rank_priorities_every == 0
@@ -1063,28 +1069,38 @@ def run_crawl(
             # normalized to [0, 1], becomes the dispatch priority — pages
             # many crawled pages point at move to the head of the politeness
             # queue. Urls not yet in the graph keep their current priority.
-            from ..operators.linkrank import pagerank
+            # Deferred into the frontier-commit thunk below: pagerank runs
+            # eager checkpoints internally, and executing it here would
+            # SERIALIZE the whole refresh before the commit pool starts —
+            # inside the thunk it overlaps the independent url_seen / bloom
+            # / records commits (guide §2.6). The edge log is complete at
+            # this point (this wave's links were appended above), so ranks
+            # are identical either way.
+            def rank_refresh(df):
+                from ..operators.linkrank import pagerank
 
-            ranks = pagerank(
-                spark.read.parquet(f"{state_dir}/edges"),
-                iterations=cfg.rank_iterations,
-            )
-            # [0,1] normalization rides the frontier join as a one-row
-            # broadcast instead of a separate max() collect job; ranks are
-            # always > 0 (base mass), so coalesce only covers the
-            # empty-graph null exactly like the old `or 1.0`
-            top_df = ranks.agg(
-                F.coalesce(F.max("rank"), F.lit(1.0)).alias("_top")
-            )
-            r = ranks.crossJoin(F.broadcast(top_df)).select(
-                F.col("node").alias("url"),
-                (F.col("rank") / F.col("_top")).alias("_r"),
-            )
-            next_frontier = (
-                next_frontier.join(r, "url", "left")
-                .withColumn("priority", F.coalesce(F.col("_r"), F.col("priority")))
-                .drop("_r")
-            )
+                ranks = pagerank(
+                    spark.read.parquet(f"{state_dir}/edges"),
+                    iterations=cfg.rank_iterations,
+                )
+                # [0,1] normalization rides the frontier join as a one-row
+                # broadcast instead of a separate max() collect job; ranks
+                # are always > 0 (base mass), so coalesce only covers the
+                # empty-graph null exactly like the old `or 1.0`
+                top_df = ranks.agg(
+                    F.coalesce(F.max("rank"), F.lit(1.0)).alias("_top")
+                )
+                r = ranks.crossJoin(F.broadcast(top_df)).select(
+                    F.col("node").alias("url"),
+                    (F.col("rank") / F.col("_top")).alias("_r"),
+                )
+                return (
+                    df.join(r, "url", "left")
+                    .withColumn(
+                        "priority", F.coalesce(F.col("_r"), F.col("priority"))
+                    )
+                    .drop("_r")
+                )
 
         if (
             cfg.trap_detect_every > 0
@@ -1187,11 +1203,22 @@ def run_crawl(
             )
             return merge_store.read_table(spark, seen_dir)
 
+        if rank_refresh is not None:
+            # evaluated INSIDE the frontier future so the multi-job rank
+            # refresh overlaps the other commits
+            _nf = next_frontier
+
+            def _frontier_df(df=_nf):
+                return rank_refresh(df)
+        else:
+            def _frontier_df(df=next_frontier):
+                return df
+
         with ThreadPoolExecutor(max_workers=4) as pool:
             if durable:
                 futs = {
                     "frontier": pool.submit(
-                        _snapshot, next_frontier, f"{it_dir}/frontier"
+                        lambda: _snapshot(_frontier_df(), f"{it_dir}/frontier")
                     ),
                     "url_seen": pool.submit(_merge_seen)
                     if cfg.seen_store == "merge"
@@ -1204,7 +1231,7 @@ def run_crawl(
             else:
                 futs = {
                     "frontier": pool.submit(
-                        lambda df=next_frontier: df.localCheckpoint(eager=True)
+                        lambda: _frontier_df().localCheckpoint(eager=True)
                     ),
                     "url_seen": pool.submit(_merge_seen)
                     if cfg.seen_store == "merge"

@@ -66,12 +66,21 @@ def test_fetch_join_is_equi_hash_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_cosine_topk_broadcasts_queries(spark):
+def test_cosine_topk_streams_corpus_once(spark):
+    """Round 6: the exact top-k scorer is ONE Arrow pass over the corpus
+    (queries ride the task closure — the same bounded rows the old plan
+    broadcast); the only exchange before the rank window is spread()'s
+    round-robin widening of the single-row-group scan. The corpus is never
+    joined or shuffled by key, and no cartesian appears."""
     from hepcrawl_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
     q = cosine_topk(emb, emb.filter("vec_id < 5"), k=3)
-    assert uses_broadcast_join(q)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one scan of the embeddings table in the whole plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_crawl_order_no_single_partition_exchange(spark):
