@@ -18,14 +18,14 @@ corpus (the same portable-md5 bucket recipe as ``operators/dsir.py``).
 
 Scale shape — identical to DSIR's, which is the point:
 
-- **Fit** is one explode + groupBy(bucket) per gram order; map-side
-  partial aggregation caps the shuffle at ``num_buckets`` rows per
-  partition. The model IS the two count vectors (O(B) scalars collected
-  driver-side — the model, never the data).
-- **Score** ships the two vectors back as a one-row broadcast and folds
-  ``zip_with(context_buckets, bigram_buckets)`` into them with
-  ``F.aggregate`` + ``element_at`` — narrow, zero shuffle, zero Python,
-  whole-stage codegen.
+- **Fit** is ONE Arrow pass emitting per-task Counter partials for both
+  gram orders (at most 2*num_buckets rows per task) + one groupBy sum.
+  The model IS the two count vectors (O(B) scalars collected driver-side
+  — the model, never the data).
+- **Score** carries the two vectors in the task closure and folds each
+  doc's (context, bigram) bucket pairs into them in the same Arrow pass
+  that tokenizes and hashes — narrow, zero shuffle, one Python boundary
+  crossing for the text column.
 - **Tercile split** needs two scalar thresholds: one
   ``percentile_approx`` aggregate (t-digest, single reduce) collected to
   the driver and compared as literals — never a global sort.
@@ -98,28 +98,61 @@ def fit_bigram_lm(
     num_buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
 ) -> BigramLM:
-    """Fit the count model over the target corpus. One explode +
-    groupBy(bucket) per gram order; collecting is O(num_buckets)."""
-    uni = dict(
-        corpus.select(
-            F.explode(
-                F.transform(
-                    _toks(text_col), lambda t: _bucket(t, num_buckets)
+    """Fit the count model over the target corpus. ONE Arrow pass emits
+    both gram orders' per-task Counter partials (at most 2*num_buckets
+    rows per task), one groupBy sums them — integer-exact, so the fitted
+    counts equal the old two explode+groupBy passes while tokenize+md5
+    runs once in Python/hashlib instead of twice through interpreted
+    transform lambdas (round 6; same recipe as dsir.bucket_counts).
+    Collecting is O(num_buckets)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..session import spread
+    from .dsir import _WS_RE, _md5
+
+    schema = T.StructType(
+        [
+            T.StructField("o", T.IntegerType()),  # 1 = unigram, 2 = bigram
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def _partials(batches):
+        from collections import Counter
+
+        cu: Counter = Counter()
+        cb: Counter = Counter()
+        for pdf in batches:
+            for txt in pdf[text_col]:
+                if txt is None:
+                    continue
+                toks = _WS_RE.sub(" ", txt.lower()).strip(" ").split(" ")
+                cu.update(
+                    int(_md5(t.encode("utf-8")).hexdigest()[:7], 16) % num_buckets
+                    for t in toks
                 )
-            ).alias("b")
-        )
-        .groupBy("b")
-        .count()
+                cb.update(
+                    int(_md5((a + " " + b).encode("utf-8")).hexdigest()[:7], 16)
+                    % num_buckets
+                    for a, b in zip(toks, toks[1:])
+                )
+        rows = [(1, k, v) for k, v in cu.items()] + [
+            (2, k, v) for k, v in cb.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["o", "bucket", "cnt"])
+
+    counts = (
+        spread(corpus.select(text_col))
+        .mapInPandas(_partials, schema)
+        .groupBy("o", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
         .collect()
     )
-    bi = dict(
-        corpus.select(
-            F.explode(bigram_buckets(text_col, num_buckets)).alias("b")
-        )
-        .groupBy("b")
-        .count()
-        .collect()
-    )
+    uni = {r["bucket"]: r["cnt"] for r in counts if r["o"] == 1}
+    bi = {r["bucket"]: r["cnt"] for r in counts if r["o"] == 2}
     return BigramLM(
         unigram=[int(uni.get(b, 0)) for b in range(num_buckets)],
         bigram=[int(bi.get(b, 0)) for b in range(num_buckets)],
@@ -137,43 +170,83 @@ def lm_score(
     ``perplexity``. Docs under two normalized tokens get NULLs — there is
     no bigram evidence to score.
 
-    The two count vectors ride a one-row broadcast (like
-    ``dsir.dsir_score``); the per-doc pass is a fold over the zipped
-    (context, bigram) bucket arrays — narrow and codegen'd.
+    One Arrow pass per corpus (round 6): tokenize + md5 buckets + the
+    per-doc log-sum all run in the worker against the count vectors
+    carried in the task closure; the log terms accumulate LEFT-TO-RIGHT
+    in pair order (``cumsum``), matching the old per-pair JVM fold's
+    order term for term (the x27 oracle's milli rounding absorbs the
+    sub-ulp ln() library differences exactly as it did for the old
+    fold-vs-DuckDB comparison). Replaces an interpreted element_at
+    lambda per bigram plus a duplicate tokenize per gram order.
     """
-    spark = SparkSession.getActiveSession() or docs.sparkSession
-    carrier = spark.createDataFrame(
-        [(
-            [float(x) for x in model.unigram],
-            [float(x) for x in model.bigram],
-        )],
-        "__lm_uni: array<double>, __lm_bi: array<double>",
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..session import spread
+    from .dsir import _WS_RE, _md5
+
+    nb = model.num_buckets
+    a = float(model.alpha)
+    ab = float(model.alpha * model.num_buckets)
+    out_schema = T.StructType(
+        list(docs.schema.fields)
+        + [
+            T.StructField("n_bigrams", T.LongType()),
+            T.StructField("cross_entropy", T.DoubleType()),
+            T.StructField("perplexity", T.DoubleType()),
+        ]
     )
-    a = F.lit(model.alpha)
-    ab = F.lit(model.alpha * model.num_buckets)
-    ctx = context_buckets(text_col, model.num_buckets)
-    big = bigram_buckets(text_col, model.num_buckets)
-    pairs = F.zip_with(
-        ctx, big, lambda c, b: F.struct(c.alias("c"), b.alias("b"))
-    )
-    sumlog = F.aggregate(
-        pairs,
-        F.lit(0.0),
-        lambda acc, p: acc
-        + F.log(
-            (F.element_at(F.col("__lm_bi"), (p["b"] + 1).cast("int")) + a)
-            / (F.element_at(F.col("__lm_uni"), (p["c"] + 1).cast("int")) + ab)
-        ),
-    )
-    n = F.size(ctx)
-    ce = F.when(n > 0, -sumlog / n)
-    out = (
-        docs.crossJoin(F.broadcast(carrier))
-        .withColumn("n_bigrams", n.cast("long"))
-        .withColumn("cross_entropy", ce)
-        .withColumn("perplexity", F.exp(ce))
-    )
-    return out.drop("__lm_uni", "__lm_bi")
+
+    def _score(batches):
+        import numpy as np
+
+        uni = np.asarray(model.unigram, dtype=np.float64)
+        bi = np.asarray(model.bigram, dtype=np.float64)
+        for pdf in batches:
+            ns: list[int | None] = []
+            ces: list[float | None] = []
+            for txt in pdf[text_col]:
+                if txt is None:
+                    ns.append(None)
+                    ces.append(None)
+                    continue
+                toks = _WS_RE.sub(" ", txt.lower()).strip(" ").split(" ")
+                if len(toks) < 2:
+                    ns.append(len(toks) - 1)  # size(ctx) of a 1-token doc = 0
+                    ces.append(None)
+                    continue
+                cb = np.fromiter(
+                    (
+                        int(_md5(t.encode("utf-8")).hexdigest()[:7], 16) % nb
+                        for t in toks[:-1]
+                    ),
+                    dtype=np.int64,
+                )
+                bb = np.fromiter(
+                    (
+                        int(_md5((x + " " + y).encode("utf-8")).hexdigest()[:7], 16)
+                        % nb
+                        for x, y in zip(toks, toks[1:])
+                    ),
+                    dtype=np.int64,
+                )
+                terms = np.log((bi[bb] + a) / (uni[cb] + ab))
+                s = float(np.cumsum(terms)[-1])
+                ns.append(len(cb))
+                ces.append(-s / len(cb))
+            out = pdf.copy()
+            out["n_bigrams"] = pd.Series(ns, index=pdf.index, dtype="object")
+            out["cross_entropy"] = pd.Series(
+                ces, index=pdf.index, dtype="object"
+            )
+            out["perplexity"] = pd.Series(
+                [None if c is None else float(np.exp(c)) for c in ces],
+                index=pdf.index,
+                dtype="object",
+            )
+            yield out
+
+    return spread(docs).mapInPandas(_score, out_schema)
 
 
 def perplexity_terciles(
