@@ -70,6 +70,9 @@ def perceptron_score(
     interpreted element_at lambda (guide §4.2)."""
     import pandas as pd
 
+    if out_col in docs.columns:
+        # old withColumn semantics replaced an existing score column
+        docs = docs.drop(out_col)
     num_buckets = len(weights)
     out_schema = T.StructType(
         list(docs.schema.fields) + [T.StructField(out_col, T.LongType())]
@@ -137,8 +140,11 @@ def perceptron_train(
             c: Counter = Counter()
             for pdf in batches:
                 for lab, txt in zip(pdf[label_col], pdf[text_col]):
-                    if txt is None or lab is None:
-                        continue  # null score never passes label*score <= 0
+                    # pd.isna also catches the NaN a nullable int label
+                    # column becomes in Arrow; the old SQL filter evaluated
+                    # NULL * score <= 0 to NULL -> row excluded
+                    if txt is None or pd.isna(lab):
+                        continue
                     ids = py_gram_ids(txt, num_buckets)
                     if int(lab) * int(wa[ids].sum()) <= 0:
                         lab_i = int(lab)

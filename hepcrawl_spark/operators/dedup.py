@@ -442,6 +442,9 @@ def embedding_neardup_pairs(
     def _pairs(pdf):
         import numpy as np
 
+        # a NULL vector made every one of the old join's cosines NULL, and
+        # NULL never passed the >= filter — equivalent to dropping the row
+        pdf = pdf[pdf[vec_col].notna()]
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
@@ -449,15 +452,23 @@ def embedding_neardup_pairs(
         ids = pdf[id_col].to_numpy()[order]
         X = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", X, X))
-        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 with everything
-        Xn = X / norms[:, None]
         out_a, out_b, out_c = [], [], []
         block = max(1, (16 << 20) // max(1, 8 * n))  # ~16 MB per G-block
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Xn = X / norms[:, None]
         for s in range(0, n - 1, block):
             e = min(s + block, n - 1)
-            G = Xn[s:e] @ Xn.T  # (e-s, n) cosines
-            bi, bj = np.nonzero(G >= thr)
-            keep = bj > (bi + s)  # strict upper triangle: id_a < id_b
+            with np.errstate(invalid="ignore"):
+                G = Xn[s:e] @ Xn.T  # (e-s, n) cosines
+                # Spark SQL treats NaN as greater than every double, so the
+                # old `cosine >= threshold` filter PASSED NaN (zero-norm
+                # vectors) — keep that exact semantics
+                hit = (G >= thr) | np.isnan(G)
+            bi, bj = np.nonzero(hit)
+            # strict id inequality, not just strict upper triangle: rows
+            # sharing one id must not self-pair (the old join filtered
+            # id_a < id_b by VALUE)
+            keep = (bj > (bi + s)) & (ids[bj] != ids[bi + s])
             bi, bj = bi[keep], bj[keep]
             out_a.append(ids[bi + s])
             out_b.append(ids[bj])
@@ -471,7 +482,11 @@ def embedding_neardup_pairs(
         )
 
     grouped = (
+        # NULL bucket rows never matched the old inner self-join on the
+        # bucket key (null join keys match nothing) — filter them here so
+        # groupBy's null group can't invent pairs the join never produced
         emb.select(F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("_bkt"))
+        .filter(F.col("_bkt").isNotNull())
         if bucket_col
         else emb.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("_bkt"))
     )

@@ -195,6 +195,10 @@ def dsir_score(
     """
     import pandas as pd
 
+    if out_col in raw.columns:
+        # the old withColumn REPLACED an existing column; appending it to
+        # the schema would produce a duplicate field and an Arrow mismatch
+        raw = raw.drop(out_col)
     num_buckets = len(logratio)
     out_schema = T.StructType(list(raw.schema.fields) + [T.StructField(out_col, T.DoubleType())])
 

@@ -66,7 +66,16 @@ def pagerank(
         )
     except ValueError:
         bcast_thresh = 10 * 1024 * 1024
-    small = 0 < bcast_thresh and n * 48 < bcast_thresh
+    # per-row estimate depends on the node type: numeric ids are ~48 B of
+    # framed row; URL-string node ids (the crawl's rank refresh) average
+    # far more, so estimate conservatively — a wrong "small" verdict here
+    # bypasses Spark's own size check and re-broadcasts the rank table
+    # every power iteration
+    from pyspark.sql.types import NumericType
+
+    node_numeric = isinstance(nodes.schema["node"].dataType, NumericType)
+    row_bytes = 48 if node_numeric else 256
+    small = 0 < bcast_thresh and n * row_bytes < bcast_thresh
     _b = F.broadcast if small else (lambda df: df)
     for i in range(iterations):
         # One shuffle join + ONE aggregation per power iteration: instead of

@@ -185,6 +185,9 @@ def lm_score(
     from ..session import spread
     from .dsir import _WS_RE, _md5
 
+    drop = [c for c in ("n_bigrams", "cross_entropy", "perplexity") if c in docs.columns]
+    if drop:  # old withColumn semantics replaced pre-existing columns
+        docs = docs.drop(*drop)
     nb = model.num_buckets
     a = float(model.alpha)
     ab = float(model.alpha * model.num_buckets)

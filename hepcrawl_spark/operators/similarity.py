@@ -64,6 +64,17 @@ def _pair_cosine_udf():
 
     @pandas_udf(DoubleType())
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ok = a.notna() & b.notna()  # old fold null-propagated a NULL vector
+        if not ok.all():
+            out = pd.Series([None] * len(a), index=a.index, dtype="object")
+            if ok.any():
+                A = np.array(a[ok].tolist(), dtype=np.float64)
+                B = np.array(b[ok].tolist(), dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[ok] = _seq_dot(A, B) / (
+                        np.sqrt(_seq_dot(A, A)) * np.sqrt(_seq_dot(B, B))
+                    )
+            return out
         A = np.array(a.tolist(), dtype=np.float64)
         B = np.array(b.tolist(), dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -108,8 +119,14 @@ def cosine_topk(
         ]
     )
     qids = [r[0] for r in qrows]
+    qvecs = [r[1] for r in qrows]
+    Q_ok = [v is not None for v in qvecs]
+    _dim = len(next((v for v in qvecs if v is not None), [0.0])) or 1
     Q = (
-        np.array([r[1] for r in qrows], dtype=np.float64)
+        np.array(
+            [v if v is not None else [0.0] * _dim for v in qvecs],
+            dtype=np.float64,
+        )
         if qrows
         else np.zeros((0, 1))
     )
@@ -120,20 +137,46 @@ def cosine_topk(
         for pdf in batches:
             if not len(pdf) or not qids:
                 continue
-            nids = pdf[id_col].to_numpy()
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            xn = np.sqrt(_seq_dot(X, X))
+            # NULL corpus/query vectors made the old per-pair cosine NULL;
+            # the rank window orders cosine DESC with NULLS LAST, so such
+            # candidates only surface when a query has < k scored rows.
+            # Emit up to k of them per batch (id order — the window's
+            # tiebreak) with a None cosine so that edge stays identical.
+            ok = pdf[vec_col].notna().to_numpy()
+            nids_all = pdf[id_col].to_numpy()
+            nids = nids_all[ok]
+            null_ids = np.sort(nids_all[~ok])[:kk]
+            X = (
+                np.array(pdf[vec_col][ok].tolist(), dtype=np.float64)
+                if ok.any()
+                else np.zeros((0, 1))
+            )
+            xn = np.sqrt(_seq_dot(X, X)) if len(X) else np.zeros(0)
             out_q, out_n, out_c = [], [], []
             for j, qid in enumerate(qids):
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    s = _seq_dot(X, Q[j]) / (qn[j] * xn)
-                mask = nids != qid
-                key = np.where(np.isnan(s), np.inf, s)  # NaN sorts first desc
-                order = np.lexsort((nids[mask], -key[mask]))[:kk]
-                sel = np.nonzero(mask)[0][order]
-                out_q.extend([qid] * len(sel))
-                out_n.extend(nids[sel])
-                out_c.extend(s[sel])
+                if Q_ok[j] and len(X):
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        s = _seq_dot(X, Q[j]) / (qn[j] * xn)
+                    mask = nids != qid
+                    key = np.where(np.isnan(s), np.inf, s)  # NaN first desc
+                    order = np.lexsort((nids[mask], -key[mask]))[:kk]
+                    sel = np.nonzero(mask)[0][order]
+                    out_q.extend([qid] * len(sel))
+                    out_n.extend(nids[sel])
+                    out_c.extend(s[sel])
+                elif not Q_ok[j]:
+                    # null QUERY vector: every cosine was NULL — candidates
+                    # rank purely by id
+                    cand = np.sort(nids_all[nids_all != qid])[:kk]
+                    out_q.extend([qid] * len(cand))
+                    out_n.extend(cand)
+                    out_c.extend([None] * len(cand))
+                    continue
+                for nid in null_ids:
+                    if nid != qid:
+                        out_q.append(qid)
+                        out_n.append(nid)
+                        out_c.append(None)
             if out_q:
                 yield pd.DataFrame(
                     {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
@@ -195,12 +238,18 @@ def hyperplane_signature(
 
     @pandas_udf(IntegerType())
     def _sig(vecs: pd.Series) -> pd.Series:
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        sig = np.zeros(len(V), dtype=np.int64)
-        for b in range(W.shape[0]):
-            terms = _seq_dot(V, W[b])
-            sig += np.where(terms > 0, weights[b], 0)
-        return pd.Series(sig.astype("int32"))
+        # a NULL vector's old per-bit fold was NULL, and when(NULL > 0)
+        # fell through to otherwise(0) — every bit 0, signature 0
+        ok = vecs.notna()
+        sig = np.zeros(len(vecs), dtype=np.int64)
+        if ok.any():
+            V = np.array(vecs[ok].tolist(), dtype=np.float64)
+            sub = np.zeros(len(V), dtype=np.int64)
+            for b in range(W.shape[0]):
+                terms = _seq_dot(V, W[b])
+                sub += np.where(terms > 0, weights[b], 0)
+            sig[ok.to_numpy()] = sub
+        return pd.Series(sig.astype("int32"), index=vecs.index)
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _sig(c)

@@ -88,6 +88,12 @@ def spread(df, min_parts: int | None = None):
     round-robin exchange of the pre-projected rows; inputs that already
     carry >= parallelism splits (any real multi-file table) pass through
     untouched, so no shuffle is added at scale.
+
+    Call this only on scan-rooted, exchange-free inputs (every in-repo
+    call site projects straight off a table scan): the `.rdd` partition
+    probe on a plan that already contains exchanges would, under AQE,
+    materialize those upstream stages once for the probe and again at
+    action time.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism

@@ -98,3 +98,72 @@ def test_embedding_neardup_pairs_matches_bruteforce(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_neardup_edge_cases_match_old_join_semantics(spark):
+    """Round-6 review fixes: NULL buckets never pair (null join keys),
+    NULL vectors drop out (null cosine never passed the filter), zero-norm
+    duplicates DO pair (Spark NaN >= threshold is true), and duplicate ids
+    never self-pair (the join filtered id_a < id_b by value)."""
+    from hepcrawl_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        (1, [0.0, 0.0], 7),      # zero vector
+        (2, [0.0, 0.0], 7),      # zero vector dup -> NaN cosine -> pair
+        (3, [1.0, 0.0], None),   # null bucket: pairs with nothing
+        (4, [1.0, 0.0], None),
+        (5, None, 7),            # null vector: pairs with nothing
+        (6, [1.0, 0.0], 8),
+        (6, [1.0, 0.0], 8),      # duplicate id: must not self-pair
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_pairs(emb, threshold=0.5).collect()}
+    assert got == {(1, 2)}
+
+
+def test_perceptron_null_label_filtered_not_crashing(spark):
+    from hepcrawl_spark.operators.classifier import perceptron_train
+
+    base = [(1, "alpha beta", 1), (2, "gamma delta", -1), (3, "alpha gamma", 1)]
+    with_null = base + [(4, "beta delta", None)]
+    df_b = spark.createDataFrame(base, "doc_id long, text string, label int")
+    df_n = spark.createDataFrame(with_null, "doc_id long, text string, label int")
+    w_b = perceptron_train(df_b, num_buckets=32, epochs=2)
+    w_n = perceptron_train(df_n, num_buckets=32, epochs=2)
+    assert w_b == w_n  # the old SQL filter silently excluded the null row
+
+
+def test_cosine_topk_null_vectors_rank_last(spark):
+    """Null corpus vectors had NULL cosine, which orders NULLS LAST under
+    the rank window; with fewer than k scored candidates they appear in
+    the top-k exactly as the old plan emitted them."""
+    from hepcrawl_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, None),
+            (4, None),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2), (4, 3)]
+    assert out[1]["cosine"] is None and out[2]["cosine"] is None
+
+
+def test_hyperplane_signature_null_vector_is_zero(spark):
+    from hepcrawl_spark.operators.similarity import hyperplane_signature
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 3.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["s"] for r in df.select(
+        "vec_id", hyperplane_signature("embedding", 4, 4).alias("s")).collect()}
+    assert got[2] == 0  # old when(NULL > 0) fell to otherwise(0) per bit
+    assert got[1] != 0

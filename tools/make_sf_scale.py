@@ -8,6 +8,12 @@ copy * stride (stride = max_id + 1), keeping every other column verbatim.
 Bucket/label distributions therefore scale the way the real generator's
 do (10 labels at every sf; source mix preserved).
 
+Known limitation: orders.o_custkey shifts by its OWN max+1, not
+customer.c_custkey's, so when the two maxima differ the customer-orders
+FK fan-out across copies is approximate — fine for the profiling purpose
+(both the before- and after-measurements use the same replica), not for
+semantic validation.
+
 Usage: python tools/make_sf_scale.py SRC_DIR DST_DIR K
 """
 from __future__ import annotations
